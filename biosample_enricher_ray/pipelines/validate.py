@@ -1,0 +1,389 @@
+"""End-to-end constraint-suite validation over a pages Dataset.
+
+Pipeline shape (engine recast of the reference's ``metrics evaluate`` flow,
+/root/reference/biosample_enricher/cli_metrics.py:24-328 — fetch → normalize →
+per-sample evaluate → report):
+
+    read_parquet(include_paths) ──► map_batches(Validator actor pool)
+        │ one streaming pass, zero-copy Arrow
+        ├── violation rows        ──► violations table / parquet sink
+        ├── batch_stats partials  ──► tiny groupby-sum → pass/fail matrix
+        └── sketch partials       ──► tree-merge → column profiles
+    + a key-only shuffle for the uniqueness check (url column alone)
+
+The record stream is orders of magnitude smaller than the corpus (violations
+≈ planted-rate %, stats/sketches ≈ O(batches)), so materializing *records* —
+never the corpus — is safe at scale.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.sketches import FixedHistogram, HyperLogLog, TDigest
+from ..schema import (
+    COMPLETENESS_COLUMNS,
+    CRAWL_WINDOW_END,
+    CRAWL_WINDOW_START,
+    LANG_REGEX,
+    PAGES_SCHEMA,
+    PASSFAIL_SCHEMA,
+    URL_REGEX,
+    VIOLATIONS_SCHEMA,
+)
+from ..stages.checks import (
+    CompletenessCheck,
+    CrossFieldCheck,
+    LengthRangeCheck,
+    NotEmptyCheck,
+    NotNullCheck,
+    RangeCheck,
+    ReferentialCheck,
+    RegexCheck,
+    RowCheck,
+    SchemaCheck,
+)
+from ..stages.validator import PATH_COLUMN, ProfileSpec, Validator, merge_profile_payloads
+
+import datetime as _dt
+
+_TS_LO = _dt.datetime.fromisoformat(CRAWL_WINDOW_START)
+_TS_HI = _dt.datetime.fromisoformat(CRAWL_WINDOW_END)
+
+
+def default_pages_checks(
+    lang_dim_ref: Any = None,
+    domain_dim_ref: Any = None,
+    max_text_len: int = 50_000_000,
+    max_html_len: int = 512 * 1024 * 1024,
+) -> list[RowCheck]:
+    """The standard constraint suite over pages (SURVEY.md §7.1 checks 1–4, 6–7)."""
+    checks: list[RowCheck] = [
+        SchemaCheck(declared=PAGES_SCHEMA),
+        NotNullCheck(column="url"),
+        NotNullCheck(column="warc_ts"),
+        NotEmptyCheck(column="text"),
+        RegexCheck(column="url", pattern=URL_REGEX, check_id="url_format"),
+        RegexCheck(column="lang", pattern=LANG_REGEX, check_id="lang_format"),
+        RangeCheck(column="warc_ts", lo=_TS_LO, hi=_TS_HI, check_id="ts_window"),
+        LengthRangeCheck(column="text", lo=1, hi=max_text_len),
+        LengthRangeCheck(column="html", lo=1, hi=max_html_len),
+        CrossFieldCheck(if_column="text", then_column="html"),
+        CompletenessCheck(columns=COMPLETENESS_COLUMNS, threshold=0.75),
+    ]
+    if lang_dim_ref is not None:
+        checks.append(
+            ReferentialCheck(column="lang", dim_ref=lang_dim_ref, check_id="lang_in_dim")
+        )
+    if domain_dim_ref is not None:
+        checks.append(
+            ReferentialCheck(
+                column="url", dim_ref=domain_dim_ref, key_fn="domain",
+                check_id="domain_in_dim",
+            )
+        )
+    return checks
+
+
+def default_pages_profile() -> ProfileSpec:
+    """Profile spec: null rates everywhere, HLL on url/lang, TDigest+histogram
+    on len(text) and warc_ts (drift inputs; FIXTURES.md §3)."""
+    text_edges = np.concatenate([[0.0], np.logspace(1, 7, 25)])  # chars, log buckets
+    ts_edges = (
+        np.arange(
+            np.datetime64(CRAWL_WINDOW_START.replace("T", " ")),
+            np.datetime64(CRAWL_WINDOW_END.replace("T", " ")) + np.timedelta64(1, "D"),
+            np.timedelta64(7, "D"),
+        )
+        .astype("datetime64[us]")
+        .astype(np.int64)
+        .astype(np.float64)
+    )
+    return ProfileSpec(
+        columns=["url", "warc_ts", "html", "text", "lang"],
+        distinct_columns=["url", "lang"],
+        length_columns=["text", "html"],
+        histogram_edges={"text": text_edges, "warc_ts": ts_edges},
+    )
+
+
+@dataclass
+class ValidationResult:
+    """Driver-side summary of one validation run (small, materialized)."""
+
+    violations: pa.Table
+    matrix: pd.DataFrame  # columns: partition_id, check_id, passed, n_violations, n_rows
+    profiles: dict[str, dict[str, Any]] = field(default_factory=dict)
+    n_rows: int = 0
+
+    def matrix_table(self) -> pa.Table:
+        return pa.Table.from_pandas(self.matrix, schema=PASSFAIL_SCHEMA,
+                                    preserve_index=False)
+
+    def violations_sorted(self) -> pa.Table:
+        """Canonical (check_id, url) sort for fixture comparison (SURVEY.md §7.4)."""
+        return self.violations.sort_by([("check_id", "ascending"), ("url", "ascending")])
+
+    @property
+    def total_violations(self) -> int:
+        return len(self.violations)
+
+    def passed(self) -> bool:
+        return bool(self.matrix["passed"].all()) if len(self.matrix) else True
+
+
+def records_dataset(
+    ds: ray.data.Dataset,
+    checks: list[RowCheck],
+    profile: ProfileSpec | None = None,
+    *,
+    batch_size: int = 2048,
+    concurrency: int | tuple[int, int] | None = None,
+    path_column: str | None = PATH_COLUMN,
+) -> ray.data.Dataset:
+    """Lazy record stream (violations + stats + sketches) for a pages Dataset.
+
+    ``batch_size`` defaults low because ``html`` rows can be multi-MB (giant
+    blob stress, FIXTURES.md §1) — a 2048-row batch of median-4KB html is
+    ~8 MB; giants make single batches of up to a few hundred MB which Arrow
+    handles without splitting rows.
+    """
+    if concurrency is None:
+        # Actor pools must be sized explicitly. Reserve 2 CPUs for the read /
+        # shuffle stages — a pool that takes every CPU starves ReadParquet and
+        # the pipeline stalls (observed: full-CPU pool hung on a 4-CPU session).
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return ds.map_batches(
+        Validator,
+        fn_constructor_kwargs=dict(checks=checks, profile=profile,
+                                   path_column=path_column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def summarize_records(records: ray.data.Dataset | pa.Table) -> ValidationResult:
+    """Aggregate a record stream into violations / matrix / profiles.
+
+    The stream is consumed once via ``iter_batches`` (no full-corpus
+    materialization — records are already the reduced form).
+    """
+    tables: list[pa.Table] = []
+    if isinstance(records, pa.Table):
+        tables = [records]
+    else:
+        for b in records.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            tables.append(b)
+    if not tables:
+        rec = pa.table({f.name: pa.array([], f.type) for f in VIOLATIONS_SCHEMA})
+        return ValidationResult(violations=rec,
+                                matrix=pd.DataFrame(columns=PASSFAIL_SCHEMA.names))
+    rec = pa.concat_tables(tables, promote_options="default")
+
+    kind = rec["record_type"]
+    violations = rec.filter(pc.equal(kind, "violation")).select(VIOLATIONS_SCHEMA.names)
+
+    stats = rec.filter(pc.equal(kind, "batch_stats"))
+    sdf = stats.select(["partition_id", "check_id", "n_rows", "n_violations"]).to_pandas()
+    if len(sdf):
+        matrix = (
+            sdf.groupby(["partition_id", "check_id"], as_index=False)[
+                ["n_violations", "n_rows"]
+            ]
+            .sum()
+        )
+        matrix["passed"] = matrix["n_violations"] == 0
+        matrix = matrix[["partition_id", "check_id", "passed", "n_violations", "n_rows"]]
+        matrix = matrix.sort_values(["partition_id", "check_id"]).reset_index(drop=True)
+        n_rows = int(
+            matrix.groupby("check_id")["n_rows"].sum().max() if len(matrix) else 0
+        )
+    else:
+        matrix = pd.DataFrame(columns=PASSFAIL_SCHEMA.names)
+        n_rows = 0
+
+    sketches = rec.filter(pc.equal(kind, "sketch"))
+    profiles: dict[str, dict[str, Any]] = {}
+    if len(sketches):
+        cols = sketches["column"].to_pylist()
+        payloads = sketches["payload"].to_pylist()
+        by_col: dict[str, list[bytes]] = {}
+        for c, p in zip(cols, payloads):
+            by_col.setdefault(c, []).append(p)
+        profiles = {c: merge_profile_payloads(ps) for c, ps in by_col.items()}
+
+    return ValidationResult(violations=violations, matrix=matrix,
+                            profiles=profiles, n_rows=n_rows)
+
+
+def validate_dataset(
+    ds: ray.data.Dataset,
+    checks: list[RowCheck] | None = None,
+    profile: ProfileSpec | None = None,
+    *,
+    uniqueness_column: str | None = "url",
+    batch_size: int = 2048,
+    concurrency: int | tuple[int, int] | None = None,
+    path_column: str | None = PATH_COLUMN,
+) -> ValidationResult:
+    """One-shot validation of a Dataset: row checks + profile + uniqueness.
+
+    For the checkpointed / resumable variant see ``state.checkpoint.run_validation``.
+    """
+    checks = checks if checks is not None else default_pages_checks()
+    result = summarize_records(
+        records_dataset(ds, checks, profile, batch_size=batch_size,
+                        concurrency=concurrency, path_column=path_column)
+    )
+    if uniqueness_column:
+        dup = uniqueness_violations(ds, uniqueness_column)
+        result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
+    return result
+
+
+# ----------------------------------------------------------------- uniqueness
+
+
+def uniqueness_violations(
+    ds: ray.data.Dataset, column: str = "url", check_id: str | None = None
+) -> pa.Table:
+    """Global uniqueness check — the one unavoidable all-to-all exchange.
+
+    Engine analog of the reference's assumed-unique Mongo ids / per-row ID
+    dedup (adapters.py:330-337) promoted to a first-class corpus check
+    (north_rule: "uniqueness on url via hash-partitioned groupby-aggregate").
+
+    Scale design: **only the key column is shuffled** (``select_columns``
+    before the groupby), so the exchange moves ~bytes-per-key × rows, not the
+    corpus. Hot keys are benign here: the aggregate is an additive count, so
+    Ray's hash-partitioned sort-aggregate pre-combines within blocks.
+    Returns duplicate keys with their multiplicities as violation rows.
+    """
+    check_id = check_id or f"unique:{column}"
+    counts = (
+        ds.select_columns([column])
+        .groupby(column)
+        .count()
+    )
+
+    def _only_dups(t: pa.Table) -> pa.Table:
+        cnt = t.column(1) if t.column_names[0] == column else t.column(0)
+        return t.filter(pc.greater(cnt, 1))
+
+    dup = counts.map_batches(_only_dups, batch_format="pyarrow")
+    pdf = dup.to_pandas()  # duplicates only — small by construction
+    n = len(pdf)
+    cnt_col = "count()" if "count()" in pdf.columns else pdf.columns[-1]
+    return pa.table(
+        {
+            "url": pa.array(pdf[column].astype(str) if n else [], pa.string()),
+            "check_id": pa.array([check_id] * n, pa.string()),
+            "column": pa.array([column] * n, pa.string()),
+            "observed": pa.array([f"count={c}" for c in pdf[cnt_col]] if n else [],
+                                 pa.string()),
+            "expected": pa.array(["count=1"] * n, pa.string()),
+            "fragment_id": pa.nulls(n, pa.string()),
+            "partition_id": pa.array(["__global__"] * n, pa.string()),
+        },
+        schema=VIOLATIONS_SCHEMA,
+    )
+
+
+def _merge_uniqueness(
+    result: ValidationResult, dup: pa.Table, column: str, n_rows: int
+) -> ValidationResult:
+    check_id = f"unique:{column}"
+    result.violations = pa.concat_tables([result.violations, dup])
+    extra = pd.DataFrame(
+        [
+            {
+                "partition_id": "__global__",
+                "check_id": check_id,
+                "passed": len(dup) == 0,
+                "n_violations": len(dup),
+                "n_rows": n_rows,
+            }
+        ]
+    )
+    result.matrix = pd.concat([result.matrix, extra], ignore_index=True)
+    return result
+
+
+# ------------------------------------------------------------------- drift
+
+
+def drift_report(
+    current_profiles: dict[str, dict[str, Any]],
+    baseline: dict[str, dict[str, Any]],
+    *,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> pd.DataFrame:
+    """KS + PSI of current column histograms vs. a pinned baseline snapshot.
+
+    Engine recast of the reference's before/after coverage comparison
+    (metrics/reporter.py:28-143) and tolerance-window alignment
+    (metrics/aligner.py:251-295): drift beyond threshold fails the check.
+    """
+    from ..functions.sketches import ks_statistic, psi as psi_fn
+
+    rows = []
+    for col, base in baseline.items():
+        cur = current_profiles.get(col)
+        if cur is None or "_hist" not in cur or "_hist" not in base:
+            continue
+        ks = ks_statistic(cur["_hist"], base["_hist"])
+        p = psi_fn(cur["_hist"], base["_hist"])
+        rows.append(
+            {
+                "column": col,
+                "ks": ks,
+                "psi": p,
+                "ks_passed": bool(ks <= ks_threshold),
+                "psi_passed": bool(p <= psi_threshold),
+            }
+        )
+    return pd.DataFrame(rows, columns=["column", "ks", "psi", "ks_passed", "psi_passed"])
+
+
+def save_baseline_snapshot(profiles: dict[str, dict[str, Any]], path: str) -> None:
+    """Serialize a profile dict as the pinned baseline (FIXTURES.md §3)."""
+    ser: dict[str, dict[str, Any]] = {}
+    for col, p in profiles.items():
+        d = {k: v for k, v in p.items() if not k.startswith("_")}
+        if "_hist" in p:
+            d["hist_bytes"] = p["_hist"].to_bytes()
+        if "_tdigest" in p:
+            d["tdigest_bytes"] = p["_tdigest"].to_bytes()
+        if "_hll" in p:
+            d["hll_bytes"] = p["_hll"].to_bytes()
+        ser[col] = d
+    with open(path, "wb") as f:
+        pickle.dump(ser, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_baseline_snapshot(path: str) -> dict[str, dict[str, Any]]:
+    with open(path, "rb") as f:
+        ser = pickle.load(f)
+    out: dict[str, dict[str, Any]] = {}
+    for col, d in ser.items():
+        p = dict(d)
+        if "hist_bytes" in p:
+            p["_hist"] = FixedHistogram.from_bytes(p.pop("hist_bytes"))
+        if "tdigest_bytes" in p:
+            p["_tdigest"] = TDigest.from_bytes(p.pop("tdigest_bytes"))
+        if "hll_bytes" in p:
+            p["_hll"] = HyperLogLog.from_bytes(p.pop("hll_bytes"))
+        out[col] = p
+    return out

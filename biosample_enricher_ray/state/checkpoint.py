@@ -1,0 +1,259 @@
+"""Per-partition checkpoint store: lineage + metrics + sketch state + resume.
+
+The reference's only cross-run persistence is its HTTP response cache — a
+memoization layer that makes re-runs cheap (/root/reference/biosample_enricher/
+http_cache.py:69-130). The engine promotes that idea to *partition
+granularity* (SURVEY.md §4.2): every partition of input fragments writes, on
+completion, an atomic commit record carrying
+
+- lineage: the input fragment paths + suite version (analog of Observation
+  provenance fields, models.py:202-216),
+- metrics: the partition's pass/fail matrix rows,
+- sketch state: serialized per-column profile partials (HLL/TDigest/histogram),
+
+plus its violation rows as Parquet. A killed run, restarted with the same
+``out_dir``, lists committed partitions and re-executes only the remainder —
+the resume gate in BASELINE.md.
+
+Scale notes: partitions are *groups of input files* (default ~4 files each);
+within a partition Ray Data parallelizes across fragments/blocks, and
+``max_concurrent_partitions`` partition pipelines run at once from driver
+threads, so the cluster stays busy across partition boundaries while commit
+granularity stays small enough for useful resume. Outputs are written to a
+temp dir and atomically renamed; re-running a half-written partition is
+idempotent (overwrite-on-rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schema import SUITE_VERSION
+from ..stages.checks import RowCheck
+from ..stages.validator import ProfileSpec
+from ..pipelines.validate import (
+    ValidationResult,
+    records_dataset,
+    summarize_records,
+    uniqueness_violations,
+)
+
+COMMIT_SUFFIX = ".commit.json"
+
+
+@dataclass
+class PartitionPlan:
+    partition_id: str
+    fragments: list[str]
+
+
+def plan_partitions(input_paths: list[str], files_per_partition: int = 4) -> list[PartitionPlan]:
+    """Deterministic partitioning of input fragments (sorted, chunked)."""
+    paths = sorted(input_paths)
+    plans = []
+    for i in range(0, len(paths), files_per_partition):
+        chunk = paths[i : i + files_per_partition]
+        plans.append(PartitionPlan(partition_id=f"part-{i // files_per_partition:05d}",
+                                   fragments=chunk))
+    return plans
+
+
+def committed_partitions(out_dir: str) -> dict[str, dict[str, Any]]:
+    commits_dir = os.path.join(out_dir, "commits")
+    if not os.path.isdir(commits_dir):
+        return {}
+    out = {}
+    for name in os.listdir(commits_dir):
+        if name.endswith(COMMIT_SUFFIX):
+            with open(os.path.join(commits_dir, name)) as f:
+                rec = json.load(f)
+            out[rec["partition_id"]] = rec
+    return out
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def run_partition(
+    plan: PartitionPlan,
+    out_dir: str,
+    checks: list[RowCheck],
+    profile: ProfileSpec | None,
+    *,
+    batch_size: int = 2048,
+    concurrency: int | None = None,
+) -> dict[str, Any]:
+    """Validate one partition's fragments; write violations + commit record."""
+    start = time.time()
+    ds = ray.data.read_parquet(plan.fragments, include_paths=True)
+    records = records_dataset(ds, checks, profile, batch_size=batch_size,
+                              concurrency=concurrency)
+    result = summarize_records(records)
+
+    part_dir = os.path.join(out_dir, "partitions", plan.partition_id)
+    tmp_dir = part_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(result.violations, os.path.join(tmp_dir, "violations.parquet"))
+    result.matrix.to_parquet(os.path.join(tmp_dir, "passfail.parquet"))
+    with open(os.path.join(tmp_dir, "sketches.pkl"), "wb") as f:
+        pickle.dump(_serializable_profiles(result.profiles), f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    if os.path.isdir(part_dir):
+        shutil.rmtree(part_dir)
+    os.replace(tmp_dir, part_dir)
+
+    commit = {
+        "partition_id": plan.partition_id,
+        "input_fragment_ids": plan.fragments,
+        "suite_version": SUITE_VERSION,
+        "n_rows": result.n_rows,
+        "n_violations": result.total_violations,
+        "wall_sec": round(time.time() - start, 3),
+        "status": "committed",
+    }
+    commits_dir = os.path.join(out_dir, "commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    _atomic_write_json(
+        os.path.join(commits_dir, plan.partition_id + COMMIT_SUFFIX), commit
+    )
+    return commit
+
+
+def _serializable_profiles(profiles: dict[str, dict[str, Any]]) -> dict[str, dict[str, Any]]:
+    out = {}
+    for col, p in profiles.items():
+        d = {k: v for k, v in p.items() if not k.startswith("_")}
+        for key, attr in (("hist_bytes", "_hist"), ("tdigest_bytes", "_tdigest"),
+                          ("hll_bytes", "_hll")):
+            if attr in p:
+                d[key] = p[attr].to_bytes()
+        out[col] = d
+    return out
+
+
+def run_validation(
+    input_paths: list[str],
+    out_dir: str,
+    checks: list[RowCheck],
+    profile: ProfileSpec | None = None,
+    *,
+    files_per_partition: int = 4,
+    max_concurrent_partitions: int = 2,
+    batch_size: int = 2048,
+    concurrency: int | None = None,
+    uniqueness_column: str | None = "url",
+    resume: bool = True,
+) -> ValidationResult:
+    """Checkpointed, resumable validation over a list of parquet fragments.
+
+    On resume, committed partitions are *loaded from their checkpoints*
+    (violations + matrix + sketches) and only uncommitted partitions execute.
+    The global uniqueness check runs once at the end over the full input (it
+    cannot be partition-local) and is recorded in the run manifest.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    plans = plan_partitions(input_paths, files_per_partition)
+    done = committed_partitions(out_dir) if resume else {}
+    todo = [p for p in plans if p.partition_id not in done]
+
+    if todo:
+        workers = max(1, min(max_concurrent_partitions, len(todo)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [
+                pool.submit(run_partition, p, out_dir, checks, profile,
+                            batch_size=batch_size, concurrency=concurrency)
+                for p in todo
+            ]
+            for f in futures:
+                f.result()
+
+    # assemble global result from per-partition checkpoints
+    violations: list[pa.Table] = []
+    matrices: list[pd.DataFrame] = []
+    merged_profiles: dict[str, dict[str, Any]] = {}
+    from ..pipelines.validate import load_baseline_snapshot  # same codec
+
+    for plan in plans:
+        part_dir = os.path.join(out_dir, "partitions", plan.partition_id)
+        violations.append(pq.read_table(os.path.join(part_dir, "violations.parquet")))
+        matrices.append(pd.read_parquet(os.path.join(part_dir, "passfail.parquet")))
+        sk_path = os.path.join(part_dir, "sketches.pkl")
+        if os.path.exists(sk_path):
+            part_profiles = load_baseline_snapshot(sk_path)
+            _merge_profiles_into(merged_profiles, part_profiles)
+
+    result = ValidationResult(
+        violations=pa.concat_tables(violations) if violations else pa.table({}),
+        matrix=(pd.concat(matrices, ignore_index=True) if matrices else pd.DataFrame()),
+        profiles=merged_profiles,
+    )
+    if len(result.matrix):
+        result.n_rows = int(result.matrix.groupby("check_id")["n_rows"].sum().max())
+
+    if uniqueness_column:
+        ds = ray.data.read_parquet(sorted(input_paths))
+        dup = uniqueness_violations(ds, uniqueness_column)
+        from ..pipelines.validate import _merge_uniqueness
+
+        result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
+
+    manifest = {
+        "suite_version": SUITE_VERSION,
+        "n_partitions": len(plans),
+        "resumed_partitions": sorted(done),
+        "executed_partitions": sorted(p.partition_id for p in todo),
+        "n_rows": result.n_rows,
+        "n_violations": result.total_violations,
+        "finished_at": time.time(),
+    }
+    _atomic_write_json(os.path.join(out_dir, "run_manifest.json"), manifest)
+    return result
+
+
+def _merge_profiles_into(acc: dict[str, dict[str, Any]],
+                         part: dict[str, dict[str, Any]]) -> None:
+    """Merge per-partition profile dicts (sketches merge, counters add)."""
+    for col, p in part.items():
+        if col not in acc:
+            acc[col] = p
+            continue
+        a = acc[col]
+        a["n"] = a.get("n", 0) + p.get("n", 0)
+        a["null_count"] = a.get("null_count", 0) + p.get("null_count", 0)
+        for key in ("min",):
+            if p.get(key) is not None:
+                a[key] = p[key] if a.get(key) is None else min(a[key], p[key])
+        for key in ("max",):
+            if p.get(key) is not None:
+                a[key] = p[key] if a.get(key) is None else max(a[key], p[key])
+        for attr in ("_hist", "_tdigest", "_hll"):
+            if attr in p:
+                if attr in a:
+                    a[attr].merge(p[attr])
+                else:
+                    a[attr] = p[attr]
+        if a.get("n"):
+            a["null_rate"] = a["null_count"] / a["n"]
+        if "_hll" in a:
+            a["distinct_hll"] = a["_hll"].estimate()
+        if "_tdigest" in a:
+            a["quantiles"] = {q: a["_tdigest"].quantile(q)
+                              for q in (0.01, 0.25, 0.5, 0.75, 0.99)}

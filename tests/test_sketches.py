@@ -1,0 +1,102 @@
+"""Unit tests for the mergeable sketches (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+
+from biosample_enricher_ray.functions.hashing import (
+    extract_domain,
+    extract_tld,
+    hash64,
+    md5_column,
+    sha256_column,
+)
+from biosample_enricher_ray.functions.sketches import (
+    FixedHistogram,
+    HyperLogLog,
+    TDigest,
+    ks_statistic,
+    psi,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 2**64, size=100_000, dtype=np.uint64)
+    true = len(np.unique(vals))
+    full = HyperLogLog()
+    full.update(vals)
+    assert abs(full.estimate() - true) / true < 0.03
+
+    a, b = HyperLogLog(), HyperLogLog()
+    a.update(vals[:50_000])
+    b.update(vals[50_000:])
+    a.merge(b)
+    assert abs(a.estimate() - full.estimate()) < 1e-6  # merge == single pass
+
+    rt = HyperLogLog.from_bytes(a.to_bytes())
+    assert rt.estimate() == a.estimate()
+
+
+def test_hll_small_cardinality_linear_counting():
+    h = HyperLogLog()
+    h.update(hash64(pa.array([f"v{i % 50}" for i in range(10_000)])))
+    assert abs(h.estimate() - 50) < 2
+
+
+def test_tdigest_quantiles_and_merge():
+    rng = np.random.default_rng(2)
+    x = rng.lognormal(5, 1, 50_000)
+    td = TDigest()
+    for chunk in np.array_split(x, 7):
+        td.update(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = np.quantile(x, q)
+        assert abs(td.quantile(q) - exact) / exact < 0.02, q
+
+    a, b = TDigest(), TDigest()
+    a.update(x[:25_000])
+    b.update(x[25_000:])
+    a.merge(b)
+    assert abs(a.quantile(0.5) - np.quantile(x, 0.5)) / np.quantile(x, 0.5) < 0.02
+    rt = TDigest.from_bytes(a.to_bytes())
+    assert rt.quantile(0.5) == a.quantile(0.5)
+
+
+def test_histogram_drift_metrics():
+    edges = np.linspace(0, 100, 21)
+    rng = np.random.default_rng(3)
+    base = FixedHistogram(edges)
+    base.update(rng.normal(50, 10, 50_000))
+    same = FixedHistogram(edges)
+    same.update(rng.normal(50, 10, 50_000))
+    shifted = FixedHistogram(edges)
+    shifted.update(rng.normal(70, 10, 50_000))
+
+    assert ks_statistic(base, same) < 0.02
+    assert psi(base, same) < 0.02
+    assert ks_statistic(base, shifted) > 0.3
+    assert psi(base, shifted) > 0.5
+
+    m = FixedHistogram.from_bytes(base.to_bytes())
+    m.merge(shifted)
+    assert m.total == base.total + shifted.total
+
+
+def test_hashing_kernels():
+    arr = pa.array(["a", "b", "a", None])
+    h = hash64(arr)
+    assert h[0] == h[2] and h[0] != h[1] and h[3] == 0
+    # stable across calls/processes (fixed key)
+    assert list(hash64(arr)) == list(h)
+
+    sha = sha256_column(pa.array(["abc"]))
+    assert sha[0].as_py() == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert md5_column(pa.array(["abc"]))[0].as_py() == "900150983cd24fb0d6963f7d28e17f72"
+
+    doms = extract_domain(
+        pa.array(["https://Sub.Example.com:8080/x", "nonsense", "http://a.b/c"])
+    )
+    assert doms.to_pylist() == ["sub.example.com", None, "a.b"]
+    assert extract_tld(pa.array(["sub.example.com"])).to_pylist() == ["com"]
