@@ -52,6 +52,15 @@ from ..pipelines.validate import (
 
 COMMIT_SUFFIX = ".commit.json"
 
+# Dataset *construction* (datasource metadata resolution) is serialized across
+# the partition threads: ray's path resolution probes optional fsspec modules,
+# and concurrent first-imports of a missing optional dep can surface a partial
+# module ("cannot import name ...") instead of the handled ModuleNotFoundError.
+# Execution still runs fully parallel — only the cheap setup takes the lock.
+import threading
+
+_DATASET_SETUP_LOCK = threading.Lock()
+
 
 @dataclass
 class PartitionPlan:
@@ -101,7 +110,8 @@ def run_partition(
 ) -> dict[str, Any]:
     """Validate one partition's fragments; write violations + commit record."""
     start = time.time()
-    ds = ray.data.read_parquet(plan.fragments, include_paths=True)
+    with _DATASET_SETUP_LOCK:
+        ds = ray.data.read_parquet(plan.fragments, include_paths=True)
     records = records_dataset(ds, checks, profile, batch_size=batch_size,
                               concurrency=concurrency)
     result = summarize_records(records)
@@ -176,6 +186,12 @@ def run_validation(
 
     if todo:
         workers = max(1, min(max_concurrent_partitions, len(todo)))
+        if concurrency is None:
+            # Split the session's CPUs across the concurrently-running
+            # partition pipelines, keeping 2 CPUs free for read/shuffle tasks —
+            # actor pools that reserve every CPU starve the reads and stall.
+            total = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(1, (total - 2) // workers)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [
                 pool.submit(run_partition, p, out_dir, checks, profile,

@@ -1,0 +1,67 @@
+"""Checkpoint/resume gate (BASELINE.md): a second run with the same out_dir
+executes only uncommitted partitions; results are identical either way."""
+
+import glob
+import json
+import os
+
+from biosample_enricher_ray.pipelines.validate import default_pages_checks, default_pages_profile
+from biosample_enricher_ray.state.checkpoint import (
+    committed_partitions,
+    plan_partitions,
+    run_partition,
+    run_validation,
+)
+
+
+def _paths(corpus_dir):
+    return sorted(glob.glob(f"{corpus_dir}/pages-*.parquet"))
+
+
+def test_plan_partitions_deterministic(corpus_dir):
+    plans = plan_partitions(_paths(corpus_dir), files_per_partition=2)
+    assert [p.partition_id for p in plans] == ["part-00000", "part-00001"]
+    assert plans == plan_partitions(list(reversed(_paths(corpus_dir))), 2)
+
+
+def test_resume_skips_committed_partitions(tmp_path, corpus_dir):
+    out = str(tmp_path / "run")
+    checks = default_pages_checks()
+    profile = default_pages_profile()
+    paths = _paths(corpus_dir)
+    plans = plan_partitions(paths, files_per_partition=1)
+
+    # simulate a killed run: only partition 0 committed
+    run_partition(plans[0], out, checks, profile, batch_size=512, concurrency=2)
+    assert set(committed_partitions(out)) == {"part-00000"}
+
+    result = run_validation(
+        paths, out, checks, profile, files_per_partition=1,
+        max_concurrent_partitions=2, batch_size=512,
+    )
+    manifest = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert manifest["resumed_partitions"] == ["part-00000"]
+    assert manifest["executed_partitions"] == ["part-00001", "part-00002", "part-00003"]
+    assert result.n_rows == 4000
+    assert result.total_violations > 0
+
+    # full fresh run must agree row-for-row (canonical sort)
+    out2 = str(tmp_path / "fresh")
+    result2 = run_validation(
+        paths, out2, checks, profile, files_per_partition=1,
+        max_concurrent_partitions=2, batch_size=512,
+    )
+    assert result.violations_sorted().equals(result2.violations_sorted())
+    # merged profiles match too
+    assert result.profiles["text"]["null_count"] == result2.profiles["text"]["null_count"]
+    assert abs(result.profiles["url"]["distinct_hll"]
+               - result2.profiles["url"]["distinct_hll"]) < 1e-6
+
+    # second resume run executes nothing
+    result3 = run_validation(
+        paths, out, checks, profile, files_per_partition=1,
+        max_concurrent_partitions=2, batch_size=512,
+    )
+    manifest3 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert manifest3["executed_partitions"] == []
+    assert result3.total_violations == result.total_violations
