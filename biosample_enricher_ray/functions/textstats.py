@@ -1,0 +1,169 @@
+"""Vectorized text-analysis kernels: tokens, quality, language-ID, fingerprint.
+
+Webtext analogs of the reference's text classifiers — the config-driven
+keyword/ENVO host classifier (/root/reference/biosample_enricher/host_detector.py:47-122),
+precision scorers (adapters.py:355-382), and quality tiers
+(weather/providers/base.py:93-147) — re-expressed as batch kernels over a
+``text`` column for a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token pattern: words-with-apostrophes, numbers, or single non-space
+# symbols — the usual pre-tokenizer shape.
+TOKEN_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (the reference's keyword-set classification pattern,
+# host_detector.py:62-65, recast for language).
+LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it was for on are with as be at by".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von auf für den im".split()),
+    "fr": frozenset("le la les et de des un une est pas dans que pour sur avec au".split()),
+    "es": frozenset("el la los las y de un una es no en que por con para del se".split()),
+    "it": frozenset("il la le e di un una è non in che per con del alla dei".split()),
+    "pt": frozenset("o a os as e de um uma é não em que por com para do na".split()),
+    "nl": frozenset("de het een en van is in dat niet met op voor aan als zijn".split()),
+}
+
+
+def whitespace_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Tokens = runs of non-whitespace; '' and null → 0. Pure Arrow kernels."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+    splits = pc.split_pattern_regex(trimmed, r"\s+")
+    n = pc.list_value_length(splits)
+    # ''.split(r'\s+') yields [''] → correct 0 via null/empty guard
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int32()), n).cast(pa.int64())
+
+
+def regex_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """BPE-ish pre-tokenizer count (compiled regex, pandas str engine)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("")
+    counts = s.str.count(TOKEN_PATTERN)
+    return pa.array(counts.astype("int64").to_numpy())
+
+
+def quality_features(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Length / punctuation / stopword / uppercase features + a 0-100 score.
+
+    Score tiers mirror the reference's completeness→score mapping
+    (weather/providers/base.py:125-147): weighted sub-scores scaled to 100.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    filled = pc.fill_null(texts, "")
+    n_chars = pc.utf8_length(filled).cast(pa.int64())
+    n_tokens = whitespace_token_count(texts)
+
+    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("")
+    n_alpha = s.str.count(r"[A-Za-z]")
+    n_punct = s.str.count(r"[^\w\s]")
+    n_upper = s.str.count(r"[A-Z]")
+    n_stop = s.str.lower().str.count(
+        r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
+    )
+
+    chars = np.maximum(np.asarray(n_chars), 1)
+    toks = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
+    alpha_ratio = n_alpha.to_numpy() / chars
+    punct_ratio = n_punct.to_numpy() / chars
+    upper_ratio = np.where(n_alpha.to_numpy() > 0, n_upper.to_numpy() / np.maximum(n_alpha.to_numpy(), 1), 0.0)
+    stop_ratio = n_stop.to_numpy() / toks
+    mean_token_len = chars / toks
+
+    # 0-100 score: alphabetic-ness, sane punctuation, some stopwords, sane
+    # word length, enough content
+    score = (
+        30.0 * np.clip(alpha_ratio / 0.7, 0, 1)
+        + 20.0 * (1.0 - np.clip((punct_ratio - 0.08) / 0.3, 0, 1))
+        + 20.0 * np.clip(stop_ratio / 0.25, 0, 1)
+        + 15.0 * (1.0 - np.clip(np.abs(mean_token_len - 5.5) / 8.0, 0, 1))
+        + 15.0 * np.clip(np.asarray(n_chars) / 500.0, 0, 1)
+    )
+    score = np.where(np.asarray(n_chars) == 0, 0.0, score)
+
+    return pa.table(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "alpha_ratio": pa.array(alpha_ratio),
+            "punct_ratio": pa.array(punct_ratio),
+            "upper_ratio": pa.array(upper_ratio),
+            "stopword_ratio": pa.array(stop_ratio),
+            "mean_token_len": pa.array(mean_token_len),
+            "quality_score": pa.array(np.round(score, 2)),
+        }
+    )
+
+
+def detect_language(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Stopword-profile language ID over the supported set; 'und' if no hit.
+
+    Vectorized per language: one compiled alternation count per profile, the
+    argmax wins (ties → first by language order). Deterministic.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("").str.lower()
+    toks = np.maximum(s.str.count(r"\S+").to_numpy(), 1)
+    langs = list(LANG_STOPWORDS)
+    scores = np.zeros((len(langs), len(s)))
+    for i, lang in enumerate(langs):
+        pat = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS[lang])) + r")\b"
+        scores[i] = s.str.count(pat).to_numpy() / toks
+    best = scores.argmax(axis=0)
+    best_score = scores.max(axis=0)
+    out = np.array(langs, dtype=object)[best]
+    out[best_score < 0.08] = "und"
+    out[s.str.len().to_numpy() == 0] = None
+    return pa.array(out, pa.string())
+
+
+def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray, window: int = 8) -> pa.Array:
+    """Document fingerprint: min of rolling polynomial hashes over byte windows.
+
+    A winnowing-style content fingerprint (stable under identical bytes —
+    the reference's canonical-payload-hash idea, elevation/service.py:388-391,
+    without full sha256 cost elsewhere). Returns uint64 as int64 column.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for i, v in enumerate(texts):
+        t = v.as_py()
+        if not t:
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if b.size < window:
+            acc = np.uint64(14695981039346656037)
+            for x in b:
+                acc = np.uint64((int(acc) * int(B) ^ int(x)) & 0xFFFFFFFFFFFFFFFF)
+            out[i] = acc
+            continue
+        # rolling polynomial hash via cumulative powers (vectorized)
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for k in range(1, window):
+            powers[k] = np.uint64((int(powers[k - 1]) * int(B)) & 0xFFFFFFFFFFFFFFFF)
+        # windows as strided view
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(b, window)
+        with np.errstate(over="ignore"):
+            hashes = (wins * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        out[i] = hashes.min()
+    return pa.array(out.view(np.int64))

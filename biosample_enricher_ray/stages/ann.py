@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is normalized once,
+``ray.put`` once, and every batch does one numpy matmul against it (the
+broadcast-small-side pattern; reference analog: the bbox/keyword lookup
+tables held per service, elevation/classifier.py:10-33). Per-batch local
+top-k partials are reduced to the global top-k, so only num_batches × k × q
+rows ever leave the workers.
+
+Scale path: LSH-bucketed variant — random-hyperplane signs bucket vectors,
+queries probe only their own bucket (plus optional neighbors), turning the
+scan into a partitioned lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float32 matrix, zero rows for nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    d = int(np.diff(offsets).max()) if len(offsets) > 1 else 0
+    n = len(col)
+    out = np.zeros((n, d), dtype=np.float32)
+    lens = np.diff(offsets)
+    if (lens == d).all():
+        return flat.reshape(n, d)
+    pos = 0
+    for i, ln in enumerate(lens):
+        out[i, :ln] = flat[pos : pos + ln]
+        pos += ln
+    return out
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopK:
+    """Actor-pool stage: local top-k cosine scores per query against a
+    broadcast query matrix; query matrix fetched once per actor."""
+
+    def __init__(
+        self,
+        queries_ref,  # ray.ObjectRef | np.ndarray
+        k: int = 10,
+        id_column: str = "vec_id",
+        embedding_column: str = "embedding",
+    ) -> None:
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch[self.embedding_column]))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        scores = vecs @ self.q.T  # (n, q)
+        k = min(self.k, scores.shape[0])
+        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, q)
+        q_idx = np.repeat(np.arange(scores.shape[1]), k)
+        v_idx = top.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(q_idx.astype(np.int64)),
+                self.id_column: pa.array(ids[v_idx]),
+                "score": pa.array(scores[v_idx, q_idx].astype(np.float64)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Global cosine top-k per query row of ``queries`` (q, d).
+
+    Returns a DataFrame (query_id, vec_id, score, rank) — small by
+    construction (q × k rows).
+    """
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=q_ref, k=k, id_column=id_column,
+            embedding_column=embedding_column,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()  # num_batches × k × q rows — small
+    out = (
+        partials.sort_values(["query_id", "score"], ascending=[True, False])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out
+
+
+# ----------------------------------------------------------- LSH-bucketed
+
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH: adds a bucket id (sign bits) per vector.
+
+    The scale path for near-dup / ANN: bucket once, ``groupby("bucket")``
+    co-locates similar vectors, per-bucket exact search replaces full scans.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 5,
+                 embedding_column: str = "embedding") -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch[self.embedding_column])
+        if vecs.shape[1] != self.planes.shape[0]:
+            planes = self.planes[: vecs.shape[1]]
+        else:
+            planes = self.planes
+        bits = (vecs @ planes) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs via hyperplane buckets.
+
+    Within-bucket exact cosine (vectors already co-located by the bucket
+    groupby); pairs with cos ≥ threshold survive. Recall is governed by
+    n_planes (fewer planes → bigger buckets → higher recall, more compute).
+    """
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    bucketed = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                   embedding_column=embedding_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = g[id_column].to_numpy()
+        vecs = _normalize(np.stack(g[embedding_column].to_numpy()).astype(np.float32))
+        sims = vecs @ vecs.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = b < a
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame(
+            {"id_a": pd.Series(a2, dtype="int64"),
+             "id_b": pd.Series(b2, dtype="int64"),
+             "cosine": pd.Series(sims[iu[keep], ju[keep]].astype(np.float64))}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

@@ -1,0 +1,191 @@
+"""Tests for text-analysis kernels, dedup family, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from biosample_enricher_ray.functions.textstats import (
+    detect_language,
+    quality_features,
+    regex_token_count,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from biosample_enricher_ray.stages.ann import brute_force_topk, embedding_near_dup_pairs
+from biosample_enricher_ray.stages.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+    verify_pairs_ngram_jaccard,
+)
+from biosample_enricher_ray.stages.multimodal import AudioFrameSampler, ImageDecoder
+
+
+def test_token_counts():
+    t = pa.array(["one two  three", "", None, " a "])
+    assert whitespace_token_count(t).to_pylist() == [3, 0, 0, 1]
+    r = regex_token_count(pa.array(["it's 42, ok!"]))
+    # it's | 42 | , | ok | !  → 5
+    assert r.to_pylist() == [5]
+
+
+def test_quality_features():
+    q = quality_features(
+        pa.array([
+            "The quick brown fox jumps over the lazy dog and runs to the old barn in town.",
+            "@@@### !!! ???",
+            "",
+        ])
+    )
+    scores = q["quality_score"].to_pylist()
+    assert scores[0] > 50
+    assert scores[1] < 30
+    assert scores[2] == 0.0
+    assert q["n_tokens"].to_pylist()[0] == 17
+
+
+def test_detect_language():
+    out = detect_language(
+        pa.array([
+            "the cat is on the mat and it was a good day for all of us",
+            "der hund ist nicht in der küche und das ist ein problem",
+            "le chat est dans la maison et il est pas content pour le moment",
+            "zzz qqq www",
+            "",
+        ])
+    )
+    assert out.to_pylist() == ["en", "de", "fr", "und", None]
+
+
+def test_rolling_fingerprint_stable():
+    a = rolling_fingerprint(pa.array(["hello world document", "hello world document", "other"]))
+    assert a[0] == a[1] and a[0] != a[2]
+
+
+def test_exact_dedup_groups():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "aaa"},
+        ]
+    )
+    out = exact_dedup_groups(ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"keep_id": 1, "n": 3},
+        {"keep_id": 2, "n": 1},
+    ]
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the old mountain range and the river flows gently through the "
+    "green valley toward the distant sea under a pale evening sky"
+)
+
+
+def _near_dup_docs():
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE.replace("lazy", "sleepy")},  # near-dup of 0
+        {"doc_id": 2, "text": BASE},  # exact dup of 0
+        {"doc_id": 3, "text": "completely different content about databases and "
+                              "distributed systems with columnar storage engines "
+                              "and vectorized execution kernels for analytics"},
+        {"doc_id": 4, "text": "short unrelated note"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_candidates(
+        _near_dup_docs(), jaccard_threshold=0.5, concurrency=2
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 2) in got  # exact dup
+    assert (0, 1) in got and (1, 2) in got  # near dup
+    assert all(3 not in p and 4 not in p for p in got)
+
+    verified = verify_pairs_ngram_jaccard(_near_dup_docs(), pairs)
+    v02 = verified.set_index(["id_a", "id_b"]).loc[(0, 2), "jaccard"]
+    assert v02 == 1.0
+
+
+def test_simhash_near_dups():
+    pairs = simhash_near_dups(_near_dup_docs(), max_hamming=3, concurrency=2).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_ngram_jaccard_exact():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+    assert 0 < ngram_jaccard("a b c d e", "a b c d x") < 1
+
+
+def test_brute_force_topk_matches_numpy(sf001_dir):
+    ds = ray.data.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    q = mat[:3]
+    got = brute_force_topk(ds, q, k=5, concurrency=2)
+
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(3):
+        expect = set(pdf["vec_id"].to_numpy()[np.argsort(-sims[:, qi])[:5]])
+        have = set(got[got["query_id"] == qi]["vec_id"])
+        assert have == expect
+        # self is rank 0 with score ~1
+        top = got[(got["query_id"] == qi) & (got["rank"] == 0)].iloc[0]
+        assert top["vec_id"] == pdf["vec_id"][qi]
+        assert abs(top["score"] - 1.0) < 1e-5
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.01 * rng.standard_normal(16)).astype(np.float32).tolist()},
+        {"vec_id": 2, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = embedding_near_dup_pairs(ds, dim=16, threshold=0.99, concurrency=2).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(0, 1)}
+
+
+def test_multimodal_stub_plumbing():
+    rows = [
+        {"doc_id": 1, "payload": b"\x01\x02\x03\x04" * 2048},
+        {"doc_id": 2, "payload": None},
+    ]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs=dict(payload_column="payload"),
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    ).to_pandas()
+    assert out.loc[out["doc_id"] == 1, "decode_ok"].item()
+    assert not out.loc[out["doc_id"] == 2, "decode_ok"].item()
+    assert out.loc[out["doc_id"] == 1, "width"].item() >= 64
+
+    frames = ds.map_batches(
+        AudioFrameSampler, fn_constructor_kwargs=dict(payload_column="payload"),
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    ).to_pandas()
+    assert (frames["doc_id"] == 1).all()
+    assert len(frames) == 2  # 8 KiB fake payload → 2 frames
+    assert len(frames["features"].iloc[0]) == 4
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(use_fake_decoder=False)
