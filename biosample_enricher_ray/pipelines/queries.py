@@ -1,0 +1,738 @@
+"""Named query/pipeline registry with DuckDB oracle SQL.
+
+Each entry is one operator/pipeline from SURVEY.md §2 exercised over the
+driver-provided testdata tables (TESTDATA.md). The Ray implementation and the
+oracle SQL produce identical column names and (after explicit rounding)
+identical values — the correctness gate compares row counts, schemas and
+order-insensitive value hashes.
+
+Float policy: every aggregated double is explicitly ROUND()ed the same way on
+both sides, because Ray and DuckDB sum in different orders.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.hashing import md5_column
+from ..functions.textstats import (
+    detect_language,
+    quality_features,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from ..stages.checks import RangeCheck, RegexCheck
+from ..stages.dedup import exact_dedup_groups, minhash_lsh_candidates
+from ..stages.validator import ProfileSpec
+from ..pipelines.validate import (
+    default_pages_checks,
+    records_dataset,
+    summarize_records,
+    uniqueness_violations,
+    validate_dataset,
+)
+from ..sources.derive import pages_from_documents
+
+DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Validation-engine queries (checks recast over the shared testdata)
+# --------------------------------------------------------------------------
+
+
+def null_rate_documents(sf_dir: str) -> pa.Table:
+    """Per-column null counts — the core of the field-stats profile (A3,
+    /root/reference/biosample_enricher/schema_statistics.py:125-131)."""
+    ds = _read(sf_dir, "documents")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": pa.array(DOC_COLUMNS, pa.string()),
+                "n_nulls": pa.array(
+                    [t[c].null_count for c in DOC_COLUMNS], pa.int64()
+                ),
+                "n_rows": pa.array([len(t)] * len(DOC_COLUMNS), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_nulls", alias_name="n_nulls"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+    return out.to_pandas()
+
+
+def completeness_documents(sf_dir: str) -> pd.DataFrame:
+    """Average per-row completeness over 4 required columns (M9,
+    models.py:86-100)."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = sum(
+            (len(t) - t[c].null_count) for c in ("text", "lang", "source", "n_chars")
+        )
+        return pa.table(
+            {"sum_score": pa.array([total / 4.0]), "n": pa.array([len(t)], pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["sum_score", "n"])
+    return pd.DataFrame(
+        {
+            "avg_completeness": [round(agg["sum(sum_score)"] / agg["sum(n)"], 4)],
+            "n_rows": [int(agg["sum(n)"])],
+        }
+    )
+
+
+def regex_check_documents(sf_dir: str) -> pd.DataFrame:
+    """Format-check violation counts (M21/F-checks; models.py:25-29)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    checks = [
+        RegexCheck(column="lang", pattern=r"^[a-z]{2}$", check_id="lang_format"),
+        RegexCheck(column="source", pattern=r"^src\d+$", check_id="source_format"),
+    ]
+    res = summarize_records(
+        records_dataset(ds, checks, None, path_column=None)
+    )
+    by = res.matrix.groupby("check_id")[["n_violations", "n_rows"]].sum()
+    return pd.DataFrame(
+        {
+            "n_lang_violations": [int(by.loc["lang_format", "n_violations"])],
+            "n_source_violations": [int(by.loc["source_format", "n_violations"])],
+            "n_rows": [int(by.loc["lang_format", "n_rows"])],
+        }
+    )
+
+
+def range_check_events(sf_dir: str) -> pd.DataFrame:
+    """Range-plausibility violations on events (M18; models.py:19-24)."""
+    ds = _read(sf_dir, "events", columns=["value", "ts"])
+    checks = [
+        RangeCheck(column="value", lo=0.0, hi=400.0, check_id="value_range"),
+        RangeCheck(
+            column="ts",
+            lo=dt.datetime(2024, 1, 5),
+            hi=dt.datetime(2024, 2, 1),
+            check_id="ts_window",
+        ),
+    ]
+    res = summarize_records(records_dataset(ds, checks, None, path_column=None))
+    by = res.matrix.groupby("check_id")[["n_violations", "n_rows"]].sum()
+    return pd.DataFrame(
+        {
+            "n_value_violations": [int(by.loc["value_range", "n_violations"])],
+            "n_ts_violations": [int(by.loc["ts_window", "n_violations"])],
+            "n_rows": [int(by.loc["value_range", "n_rows"])],
+        }
+    )
+
+
+def uniqueness_doc_id(sf_dir: str) -> pd.DataFrame:
+    """Key-uniqueness via hash-partitioned groupby (north_rule check 5)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    dup = uniqueness_violations(ds, "doc_id")
+    n_rows = ds.count()
+    return pd.DataFrame({"n_dup_keys": [len(dup)], "n_rows": [int(n_rows)]})
+
+
+def exact_dedup_documents(sf_dir: str) -> pa.Table:
+    """Exact content dedup: representative min(doc_id) + multiplicity per
+    distinct text (§2.8; adapters.py:330-337 promoted to corpus level)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup_groups(ds).to_pandas()
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def referential_events_customers(sf_dir: str) -> pd.DataFrame:
+    """Anti-join orphan count: events.user_id ∉ customer.c_custkey (J1/§2.5;
+    adapters.py:610-640). Broadcast semi-join complement — no shuffle."""
+    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].combine_chunks()
+    key_ref = ray.put(keys)
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    class OrphanCounter:
+        def __init__(self) -> None:
+            self.keys = ray.get(key_ref).cast(pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t["user_id"]
+            orphan = pc.and_(
+                pc.invert(pc.is_in(uid, value_set=self.keys)), pc.is_valid(uid)
+            )
+            n = pc.sum(pc.cast(orphan, pa.int64())).as_py() or 0
+            return pa.table(
+                {"n_orphans": pa.array([n], pa.int64()),
+                 "n_rows": pa.array([len(t)], pa.int64())}
+            )
+
+    agg = ds.map_batches(OrphanCounter, batch_format="pyarrow", concurrency=2).sum(
+        ["n_orphans", "n_rows"]
+    )
+    return pd.DataFrame(
+        {"n_orphans": [int(agg["sum(n_orphans)"])], "n_rows": [int(agg["sum(n_rows)"])]}
+    )
+
+
+def distinct_counts_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct counts (profile A3 with exact semantics for the oracle;
+    the HLL variant is hll_distinct_documents)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    n_langs = ds.select_columns(["lang"]).groupby("lang").count().count()
+    n_sources = ds.select_columns(["source"]).groupby("source").count().count()
+    return pd.DataFrame({"n_langs": [int(n_langs)], "n_sources": [int(n_sources)]})
+
+
+def stats_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Grouped min/max/avg stats per lang (A1-style matrix; reporter.py:28-443)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("n_chars", alias_name="_sum_chars"),
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["_sum_chars"] / out["n"]).round(3)
+    out = out.drop(columns=["_sum_chars"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def hist_n_chars_documents(sf_dir: str) -> pd.DataFrame:
+    """Fixed-bucket histogram of n_chars (drift-check input shape, A3/check 9)."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.multiply(pc.divide(t["n_chars"], 100), 100)
+        return pa.table({"bucket": pc.cast(b, pa.int64())})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def token_count_documents(sf_dir: str) -> pa.Table:
+    """Whitespace token count per document (text-analysis op; §2.9 kernels)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": whitespace_token_count(t["text"])}
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def md5_documents(sf_dir: str) -> pd.DataFrame:
+    """Content checksum per doc (byte-identical invariant stage; the oracle
+    uses md5 because DuckDB ships it — engine-side sha256 lives in
+    functions.hashing; elevation/service.py:388-391 analog)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def checksum(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t["doc_id"], 50))
+        return pa.table(
+            {"doc_id": keep["doc_id"], "md5_text": md5_column(keep["text"])}
+        )
+
+    return (
+        ds.map_batches(checksum, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def events_daily_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, day) count + rounded value sum (A5-style time rollup;
+    weather/providers/open_meteo.py:152-257)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="_sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["_sum_value"].round(2)
+    out = out.drop(columns=["_sum_value"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Relational sanity queries (groupby / sort / join coverage)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate over lineitem (A1 matrix analog)."""
+    cutoff = dt.datetime(1998, 9, 2)
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top10_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-k by sort (O6): 10 most expensive orders, deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out
+
+
+def customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Customer counts per region via broadcast dimension join chain (J1:
+    small side ray.put once, probed per batch — never a shuffle)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nation_to_region = {n: r2name[r] for n, r in n2r.items()}
+    map_ref = ray.put(nation_to_region)
+
+    class RegionTagger:
+        def __init__(self) -> None:
+            m = ray.get(map_ref)
+            self.keys = np.array(sorted(m))
+            self.vals = np.array([m[k] for k in self.keys], dtype=object)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, nk)
+            return pa.table({"r_name": pa.array(self.vals[idx], pa.string())})
+
+    out = (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(RegionTagger, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def cosine_scores_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine scores of every vec_id<20 vector against query vec 0
+    (similarity-search kernel with a SQL oracle via list_cosine_similarity)."""
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_vec = None
+    for vid, emb in zip(q_tbl["vec_id"].to_pylist(), q_tbl["embedding"].to_pylist()):
+        if vid == 0:
+            q_vec = np.asarray(emb, dtype=np.float64)
+            break
+    q_ref = ray.put(q_vec)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Scorer:
+        def __init__(self) -> None:
+            q = ray.get(q_ref)
+            self.q = q / np.linalg.norm(q)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.less(t["vec_id"], 20))
+            if len(keep) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            from ..stages.ann import _to_matrix
+
+            m = _to_matrix(keep["embedding"]).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            scores = (m / norms[:, None]) @ self.q
+            return pa.table(
+                {"vec_id": keep["vec_id"],
+                 "cosine": pa.array(np.round(scores, 3))}
+            )
+
+    return (
+        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible pipelines (rows-only checks; unit-tested instead)
+# --------------------------------------------------------------------------
+
+
+def pages_validation_summary(sf_dir: str) -> pd.DataFrame:
+    """Flagship: full constraint suite over the derived pages view."""
+    pages = pages_from_documents(sf_dir)
+    lang_dim = pa.array(
+        ["en", "de", "fr", "es", "it", "pt", "nl", "ru", "zh", "ja", "ko", "ar"]
+    )
+    checks = default_pages_checks(lang_dim_ref=ray.put(lang_dim))
+    profile = ProfileSpec(
+        columns=["url", "warc_ts", "html", "text", "lang"],
+        distinct_columns=["url", "lang"],
+        length_columns=["text", "html"],
+    )
+    result = validate_dataset(pages, checks, profile, path_column=None)
+    out = (
+        result.matrix.groupby("check_id", as_index=False)[["n_violations", "n_rows"]]
+        .sum()
+        .sort_values("check_id")
+        .reset_index(drop=True)
+    )
+    out["passed"] = out["n_violations"] == 0
+    return out
+
+
+def lang_id_documents(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID distribution (M10 classifier analog)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def predict(t: pa.Table) -> pa.Table:
+        return pa.table({"pred_lang": detect_language(t["text"])})
+
+    out = (
+        ds.map_batches(predict, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def quality_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality-score aggregate per source (A6 quality tiers analog)."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        q = quality_features(t["text"])
+        return pa.table({"source": t["source"],
+                         "quality_score": q["quality_score"]})
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Mean("quality_score", alias_name="avg_quality"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_quality"] = out["avg_quality"].round(3)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprints (winnowing-style)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": rolling_fingerprint(t["text"])}
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-duplicate pairs over documents."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.7).to_pandas()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_documents(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per document (near-dup signature table)."""
+    from ..stages.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            SimHasher, fn_constructor_kwargs=dict(), batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()[["doc_id", "simhash"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    from ..stages.ann import brute_force_topk
+
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(q_tbl["vec_id"].to_numpy())[:3]
+    queries = np.stack(
+        [np.asarray(q_tbl["embedding"].to_pylist()[i], dtype=np.float32) for i in order]
+    )
+    ds = _read(sf_dir, "embeddings")
+    return brute_force_topk(ds, queries, k=10)
+
+
+def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct counts (A3 sketch path; exact twin is
+    distinct_counts_documents)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
+    res = summarize_records(
+        records_dataset(
+            ds, [], ProfileSpec(columns=["lang", "source", "text"],
+                                distinct_columns=["lang", "source", "text"]),
+            path_column=None,
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_langs_hll": [round(res.profiles["lang"]["distinct_hll"])],
+            "n_sources_hll": [round(res.profiles["source"]["distinct_hll"])],
+            "n_texts_hll": [round(res.profiles["text"]["distinct_hll"])],
+        }
+    )
+
+
+def drift_events_value(sf_dir: str) -> pd.DataFrame:
+    """KS + PSI of events.value: first half of January vs. second half
+    (check 9; reporter.py:28-143 before/after recast)."""
+    from ..functions.sketches import FixedHistogram, ks_statistic, psi
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    edges = np.linspace(0.0, 500.0, 26)
+    split = dt.datetime(2024, 1, 16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        first = pc.less(t["ts"], pa.scalar(split, pa.timestamp("us"))).to_numpy(
+            zero_copy_only=False
+        )
+        ha, hb = FixedHistogram(edges), FixedHistogram(edges)
+        ha.update(vals[first])
+        hb.update(vals[~first])
+        return pa.table({"payload": pa.array([ha.to_bytes(), hb.to_bytes()],
+                                             pa.binary()),
+                         "half": pa.array(["a", "b"])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    ha, hb = FixedHistogram(edges), FixedHistogram(edges)
+    for _, row in parts.iterrows():
+        h = FixedHistogram.from_bytes(row["payload"])
+        (ha if row["half"] == "a" else hb).merge(h)
+    return pd.DataFrame(
+        {
+            "ks": [round(ks_statistic(ha, hb), 4)],
+            "psi": [round(psi(ha, hb), 4)],
+            "n_first": [ha.total],
+            "n_second": [hb.total],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "null_rate_documents": null_rate_documents,
+    "completeness_documents": completeness_documents,
+    "regex_check_documents": regex_check_documents,
+    "range_check_events": range_check_events,
+    "uniqueness_doc_id": uniqueness_doc_id,
+    "exact_dedup_documents": exact_dedup_documents,
+    "referential_events_customers": referential_events_customers,
+    "distinct_counts_documents": distinct_counts_documents,
+    "stats_profile_documents": stats_profile_documents,
+    "hist_n_chars_documents": hist_n_chars_documents,
+    "token_count_documents": token_count_documents,
+    "md5_documents": md5_documents,
+    "events_daily_counts": events_daily_counts,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top10_orders": top10_orders,
+    "customers_per_region": customers_per_region,
+    "cosine_scores_embeddings": cosine_scores_embeddings,
+    # non-SQL-expressible (rows-only checks)
+    "pages_validation_summary": pages_validation_summary,
+    "lang_id_documents": lang_id_documents,
+    "quality_documents": quality_documents,
+    "fingerprint_documents": fingerprint_documents,
+    "minhash_pairs_documents": minhash_pairs_documents,
+    "simhash_documents": simhash_documents,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "hll_distinct_documents": hll_distinct_documents,
+    "drift_events_value": drift_events_value,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "null_rate_documents": " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(*) AS n_rows FROM documents"
+        for c in DOC_COLUMNS
+    ),
+    "completeness_documents": (
+        "SELECT ROUND(AVG(((CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) + "
+        "(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) + "
+        "(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) + "
+        "(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END)) / 4.0), 4) "
+        "AS avg_completeness, COUNT(*) AS n_rows FROM documents"
+    ),
+    "regex_check_documents": (
+        "SELECT COALESCE(SUM(CASE WHEN lang IS NOT NULL AND NOT "
+        "regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END), 0) AS n_lang_violations, "
+        "COALESCE(SUM(CASE WHEN source IS NOT NULL AND NOT "
+        "regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END), 0) AS n_source_violations, "
+        "COUNT(*) AS n_rows FROM documents"
+    ),
+    "range_check_events": (
+        "SELECT COALESCE(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) "
+        "THEN 1 ELSE 0 END), 0) AS n_value_violations, "
+        "COALESCE(SUM(CASE WHEN ts IS NOT NULL AND (ts < TIMESTAMP '2024-01-05' OR "
+        "ts > TIMESTAMP '2024-02-01') THEN 1 ELSE 0 END), 0) AS n_ts_violations, "
+        "COUNT(*) AS n_rows FROM events"
+    ),
+    "uniqueness_doc_id": (
+        "SELECT (SELECT COUNT(*) FROM (SELECT doc_id FROM documents GROUP BY doc_id "
+        "HAVING COUNT(*) > 1)) AS n_dup_keys, COUNT(*) AS n_rows FROM documents"
+    ),
+    "exact_dedup_documents": (
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY text "
+        "ORDER BY keep_id"
+    ),
+    "referential_events_customers": (
+        "SELECT COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN "
+        "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS n_orphans, "
+        "COUNT(*) AS n_rows FROM events"
+    ),
+    "distinct_counts_documents": (
+        "SELECT COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources "
+        "FROM documents"
+    ),
+    "stats_profile_documents": (
+        "SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars, "
+        "MAX(n_chars) AS max_chars, ROUND(SUM(n_chars) / COUNT(*), 3) AS avg_chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "hist_n_chars_documents": (
+        "SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n FROM documents "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "token_count_documents": (
+        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "md5_documents": (
+        "SELECT doc_id, md5(text) AS md5_text FROM documents WHERE doc_id < 50 "
+        "ORDER BY doc_id"
+    ),
+    "events_daily_counts": (
+        "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n, "
+        "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "COUNT(*) AS count_order, "
+        "ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty, "
+        "ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "top10_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "customers_per_region": (
+        "SELECT r.r_name, COUNT(*) AS n_customers FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "cosine_scores_embeddings": (
+        "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) "
+        "AS cosine FROM embeddings e WHERE e.vec_id < 20 ORDER BY e.vec_id"
+    ),
+}

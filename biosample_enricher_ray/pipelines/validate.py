@@ -284,6 +284,9 @@ def uniqueness_violations(
     dup = counts.map_batches(_only_dups, batch_format="pyarrow")
     pdf = dup.to_pandas()  # duplicates only — small by construction
     n = len(pdf)
+    if n == 0 or column not in pdf.columns:
+        n = 0
+        pdf = pd.DataFrame({column: [], "count()": []})
     cnt_col = "count()" if "count()" in pdf.columns else pdf.columns[-1]
     return pa.table(
         {

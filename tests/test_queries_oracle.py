@@ -1,0 +1,94 @@
+"""Driver-style oracle gate: every SQL-backed query must match DuckDB at
+sf0.01 on row count, column names, and order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from biosample_enricher_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf01_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf01_dir}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [str(c) for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name, con, sf01_dir):
+    ray_out = _normalize(_to_pandas(QUERIES[name](sf01_dir)))
+    sql_out = _normalize(con.execute(ORACLE_SQL[name]).df())
+    assert list(ray_out.columns) == list(sql_out.columns), (
+        f"{name}: columns {list(ray_out.columns)} != {list(sql_out.columns)}"
+    )
+    assert len(ray_out) == len(sql_out), f"{name}: {len(ray_out)} != {len(sql_out)} rows"
+    pd.testing.assert_frame_equal(ray_out, sql_out, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run(name, sf01_dir):
+    out = _to_pandas(QUERIES[name](sf01_dir))
+    assert out is not None
+    # deterministic across invocations
+    if name in ("simhash_documents", "fingerprint_documents", "hll_distinct_documents"):
+        again = _to_pandas(QUERIES[name](sf01_dir))
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), again.reset_index(drop=True)
+        )
+
+
+def test_hll_close_to_exact(sf01_dir):
+    hll = _to_pandas(QUERIES["hll_distinct_documents"](sf01_dir))
+    exact = _to_pandas(QUERIES["distinct_counts_documents"](sf01_dir))
+    assert abs(hll["n_langs_hll"][0] - exact["n_langs"][0]) <= 1
+    assert abs(hll["n_sources_hll"][0] - exact["n_sources"][0]) <= 2
+    n_docs = 500
+    assert abs(hll["n_texts_hll"][0] - n_docs) / n_docs < 0.05
+
+
+def test_entry_smoke():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.entry()
+    df = _to_pandas(out)
+    assert len(df) >= 5
+    assert {"check_id", "n_violations", "n_rows", "passed"} <= set(df.columns)
+    # clean derived corpus: format checks pass, referential may fail for langs
+    # outside the demo dim — but schema/url checks must pass
+    by = df.set_index("check_id")
+    assert by.loc["url_format", "n_violations"] == 0
+    assert by.loc["schema", "n_violations"] == 0
