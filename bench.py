@@ -1,0 +1,207 @@
+"""Benchmark harness: rows/sec validated (full constraint suite) + per-query timings.
+
+Headline: the flagship constraint suite (row checks + profile sketches +
+uniqueness shuffle) over a deterministic synthetic pages corpus
+(BASELINE.json north metric). The corpus is generated once (parallel Ray
+tasks, pure function of the spec) and cached under /tmp; the OS page cache
+is warmed with one untimed read so the timed run measures compute + shuffle,
+not cold disk.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows": R, "rows_per_sec": ...}
+
+--scaling: runs the headline at num_cpus=8 and num_cpus=32 in fresh
+processes on the same (larger) input, timing the steady-state pass, and
+reports both throughputs + scaling efficiency (BASELINE.md criterion,
+evidenced as two parallelism levels on one node per the sandbox protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS_VERSION = "v2"
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1600000"))
+
+
+def ensure_corpus(n_rows: int) -> str:
+    """Generate-once cached pages corpus (deterministic in the spec)."""
+    from biosample_enricher_ray.sources.synthetic import (
+        CorpusSpec,
+        write_corpus_parallel,
+        write_dims,
+    )
+
+    n_files = max(16, n_rows // 25_000)
+    out_dir = f"/tmp/graft_bench_pages_{BENCH_CORPUS_VERSION}_{n_rows}"
+    marker = os.path.join(out_dir, ".complete")
+    if not os.path.exists(marker):
+        spec = CorpusSpec(
+            n_rows=n_rows,
+            n_files=n_files,
+            text_len_mu=4.6,  # median ~100 words
+            giant_html_per_file=1,
+        )
+        write_corpus_parallel(out_dir, spec)
+        write_dims(out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = False) -> dict:
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from biosample_enricher_ray.pipelines.validate import (
+        default_pages_checks,
+        default_pages_profile,
+        validate_dataset,
+    )
+
+    paths = sorted(
+        os.path.join(corpus_dir, p)
+        for p in os.listdir(corpus_dir)
+        if p.startswith("pages-") and p.endswith(".parquet")
+    )
+    lang = pq.read_table(os.path.join(corpus_dir, "lang_dim.parquet"))["lang"].combine_chunks()
+    dom = pq.read_table(os.path.join(corpus_dir, "domain_dim.parquet"))["domain"].combine_chunks()
+
+    # warm OS page cache (untimed)
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    n_blocks = max(len(paths), concurrency)
+
+    def one_run() -> tuple[float, "object"]:
+        checks = default_pages_checks(
+            lang_dim_ref=ray.put(lang), domain_dim_ref=ray.put(dom)
+        )
+        ds = ray.data.read_parquet(paths, include_paths=True,
+                                   override_num_blocks=n_blocks)
+        uniq_ds = ray.data.read_parquet(paths, columns=["url"],
+                                        override_num_blocks=n_blocks)
+        t0 = time.time()
+        result = validate_dataset(
+            ds, checks, default_pages_profile(), batch_size=4096,
+            concurrency=concurrency, uniqueness_ds=uniq_ds,
+        )
+        return time.time() - t0, result
+
+    if steady_state:
+        one_run()  # warm-up: worker processes, parquet metadata, plasma
+    wall, result = one_run()
+    n_rows = result.n_rows
+    assert result.total_violations > 0
+    return {"sec": wall, "rows": n_rows, "rows_per_sec": n_rows / wall}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from biosample_enricher_ray.pipelines.queries import QUERIES
+
+    names = [
+        "q1_pricing_summary",
+        "events_daily_counts",
+        "exact_dedup_documents",
+        "token_count_documents",
+        "uniqueness_doc_id",
+        "customers_per_region",
+        "ann_topk_embeddings",
+        "minhash_pairs_documents",
+        "hll_distinct_documents",
+        "drift_events_value",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--headline-only", action="store_true")
+    args = parser.parse_args()
+
+    if args.scaling:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+                GRAFT_BENCH_HEADLINE_ONLY="1",
+                GRAFT_BENCH_STEADY_STATE="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "sec_8": round(t8, 3),
+            "sec_32": round(t32, 3),
+            "rows_per_sec_8": round(results[8]["rows_per_sec"], 1),
+            "rows_per_sec_32": round(results[32]["rows_per_sec"], 1),
+            "scaling_efficiency": round(eff, 3),
+            "rows": results[32].get("rows"),
+        }))
+        return
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    headline_only = args.headline_only or os.environ.get(
+        "GRAFT_BENCH_HEADLINE_ONLY"
+    ) == "1"
+    steady_state = os.environ.get("GRAFT_BENCH_STEADY_STATE") == "1"
+
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    try:
+        corpus_dir = ensure_corpus(BENCH_ROWS)
+        headline = run_headline(
+            corpus_dir, concurrency=max(2, ncpu - 2), steady_state=steady_state
+        )
+        queries = {} if headline_only else run_queries(sf_dir)
+        print(json.dumps({
+            "metric": "pages constraint-suite validation wall time "
+                      f"({headline['rows']} rows, full checks+profile+uniqueness)",
+            "value": round(headline["sec"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": ncpu,
+            "rows": headline["rows"],
+            "rows_per_sec": round(headline["rows_per_sec"], 1),
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -233,11 +233,19 @@ def validate_dataset(
     profile: ProfileSpec | None = None,
     *,
     uniqueness_column: str | None = "url",
+    uniqueness_ds: ray.data.Dataset | None = None,
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] | None = None,
     path_column: str | None = PATH_COLUMN,
 ) -> ValidationResult:
     """One-shot validation of a Dataset: row checks + profile + uniqueness.
+
+    ``uniqueness_ds``: optionally a *pruned* re-read of just the key column
+    for the uniqueness shuffle. Ray's projection pushdown does not reach the
+    parquet scan through an ``include_paths`` read, so reusing ``ds`` would
+    re-ship every column (html blobs included) through the object store —
+    measured 5× slower. Callers that read from parquet should pass
+    ``read_parquet(paths, columns=[key])`` here.
 
     For the checkpointed / resumable variant see ``state.checkpoint.run_validation``.
     """
@@ -247,7 +255,9 @@ def validate_dataset(
                         concurrency=concurrency, path_column=path_column)
     )
     if uniqueness_column:
-        dup = uniqueness_violations(ds, uniqueness_column)
+        dup = uniqueness_violations(
+            uniqueness_ds if uniqueness_ds is not None else ds, uniqueness_column
+        )
         result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
     return result
 
@@ -271,23 +281,33 @@ def uniqueness_violations(
     Returns duplicate keys with their multiplicities as violation rows.
     """
     check_id = check_id or f"unique:{column}"
+    from ray.data.aggregate import Sum
+
+    def _value_counts(t: pa.Table) -> pa.Table:
+        # combiner: collapse to (key, partial_count) inside each batch BEFORE
+        # the shuffle — the classic partial-aggregation push-down (SURVEY.md
+        # §4.2 "push aggregation partial"); the exchange then moves one row
+        # per distinct key per block instead of one per input row.
+        c = t[column].combine_chunks().value_counts()
+        return pa.table({column: c.field("values"), "n": c.field("counts")})
+
     counts = (
         ds.select_columns([column])
+        .map_batches(_value_counts, batch_format="pyarrow")
         .groupby(column)
-        .count()
+        .aggregate(Sum("n", alias_name="n"))
     )
 
     def _only_dups(t: pa.Table) -> pa.Table:
-        cnt = t.column(1) if t.column_names[0] == column else t.column(0)
-        return t.filter(pc.greater(cnt, 1))
+        return t.filter(pc.greater(t["n"], 1))
 
     dup = counts.map_batches(_only_dups, batch_format="pyarrow")
     pdf = dup.to_pandas()  # duplicates only — small by construction
     n = len(pdf)
     if n == 0 or column not in pdf.columns:
         n = 0
-        pdf = pd.DataFrame({column: [], "count()": []})
-    cnt_col = "count()" if "count()" in pdf.columns else pdf.columns[-1]
+        pdf = pd.DataFrame({column: [], "n": []})
+    cnt_col = "n"
     return pa.table(
         {
             "url": pa.array(pdf[column].astype(str) if n else [], pa.string()),

@@ -210,6 +210,30 @@ def write_corpus(out_dir: str, spec: CorpusSpec | None = None) -> list[str]:
     return paths
 
 
+def write_corpus_parallel(out_dir: str, spec: CorpusSpec | None = None) -> list[str]:
+    """Parallel corpus generation: one Ray task per file (file i is a pure
+    function of (seed, i), so parallel generation is byte-identical to the
+    sequential path). Requires an initialized Ray session — never inits one.
+    """
+    import ray
+
+    if not ray.is_initialized():
+        return write_corpus(out_dir, spec)
+    spec = spec or CorpusSpec()
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _gen_one(spec: CorpusSpec, i: int, out_dir: str) -> str:
+        table = generate_pages_file(spec, i)
+        path = os.path.join(out_dir, f"pages-{i:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, row_group_size=max(1024, len(table) // 4))
+        os.replace(tmp, path)
+        return path
+
+    return ray.get([_gen_one.remote(spec, i, out_dir) for i in range(spec.n_files)])
+
+
 def write_dims(out_dir: str) -> dict[str, str]:
     """Write lang_dim / domain_dim tables (FIXTURES.md §2)."""
     os.makedirs(out_dir, exist_ok=True)

@@ -225,7 +225,8 @@ def run_validation(
         result.n_rows = int(result.matrix.groupby("check_id")["n_rows"].sum().max())
 
     if uniqueness_column:
-        ds = ray.data.read_parquet(sorted(input_paths))
+        # key-column-only read: the shuffle must never ship html/text blobs
+        ds = ray.data.read_parquet(sorted(input_paths), columns=[uniqueness_column])
         dup = uniqueness_violations(ds, uniqueness_column)
         from ..pipelines.validate import _merge_uniqueness
 

@@ -1,0 +1,90 @@
+"""Tests for salted shuffle helpers and the reporting layer."""
+
+import glob
+
+import pyarrow.compute as pc
+import ray.data
+
+from biosample_enricher_ray.functions.hashing import extract_domain
+from biosample_enricher_ray.pipelines.report import (
+    check_summary,
+    partition_matrix,
+    profile_table,
+    to_markdown,
+    write_report,
+)
+from biosample_enricher_ray.pipelines.validate import (
+    default_pages_checks,
+    default_pages_profile,
+    validate_dataset,
+)
+from biosample_enricher_ray.stages.shuffle import detect_skewed_keys, salted_group_count
+
+
+def _pages(corpus_dir):
+    return ray.data.read_parquet(
+        sorted(glob.glob(f"{corpus_dir}/pages-*.parquet")), include_paths=True
+    )
+
+
+def test_salted_group_count_matches_plain(corpus_dir):
+    ds = _pages(corpus_dir)
+
+    def domains(t):
+        import pyarrow as pa
+
+        d = extract_domain(t["url"].combine_chunks()).drop_null()
+        return pa.table({"domain": d})
+
+    dom_ds = ds.map_batches(domains, batch_format="pyarrow")
+    salted = salted_group_count(dom_ds, "domain", salt=4).to_pandas()
+    plain = dom_ds.groupby("domain").count().to_pandas()
+    plain = plain.rename(columns={plain.columns[-1]: "n"})
+    a = salted.sort_values("domain").reset_index(drop=True)
+    b = plain.sort_values("domain").reset_index(drop=True)
+    assert (a["domain"].fillna("∅").tolist() == b["domain"].fillna("∅").tolist())
+    assert a["n"].tolist() == b["n"].tolist()
+    # zipf-planted hot domain exists
+    assert a["n"].max() > a["n"].median() * 5
+
+
+def test_detect_skewed_keys(corpus_dir):
+    ds = _pages(corpus_dir)
+
+    def domains(t):
+        import pyarrow as pa
+
+        d = extract_domain(t["url"].combine_chunks()).drop_null()
+        return pa.table({"domain": d})
+
+    top = detect_skewed_keys(ds.map_batches(domains, batch_format="pyarrow"),
+                             "domain", top=5, sample_frac=0.5)
+    assert len(top) == 5
+    assert top["n"].iloc[0] >= top["n"].iloc[-1]
+    assert "example.com" in set(top["domain"])  # the hottest zipf domain
+
+
+def test_report_outputs(tmp_path, corpus_dir):
+    ds = _pages(corpus_dir)
+    result = validate_dataset(
+        ds, default_pages_checks(), default_pages_profile(), batch_size=512
+    )
+    summary = check_summary(result)
+    assert {"check_id", "n_violations", "violation_rate", "passed"} <= set(summary.columns)
+    assert (summary["n_rows"] == 4000).all()
+
+    pm = partition_matrix(result)
+    assert pm.shape[0] >= 4  # 4 partitions + __global__
+
+    prof = profile_table(result)
+    assert "p50" in prof.columns
+    assert set(prof["column"]) == {"url", "warc_ts", "html", "text", "lang"}
+
+    md = to_markdown(result)
+    assert "Per-check summary" in md and "Column profiles" in md
+
+    paths = write_report(result, str(tmp_path / "report"))
+    import os
+
+    for p in paths.values():
+        assert os.path.exists(p)
