@@ -89,12 +89,10 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
         )
         ds = ray.data.read_parquet(paths, include_paths=True,
                                    override_num_blocks=n_blocks)
-        uniq_ds = ray.data.read_parquet(paths, columns=["url"],
-                                        override_num_blocks=n_blocks)
         t0 = time.time()
         result = validate_dataset(
-            ds, checks, default_pages_profile(), batch_size=4096,
-            concurrency=concurrency, uniqueness_ds=uniq_ds,
+            ds, checks, default_pages_profile(), batch_size=16384,
+            concurrency=concurrency, uniqueness_paths=paths,
         )
         return time.time() - t0, result
 
@@ -185,7 +183,7 @@ def main() -> None:
     try:
         corpus_dir = ensure_corpus(BENCH_ROWS)
         headline = run_headline(
-            corpus_dir, concurrency=max(2, ncpu - 2), steady_state=steady_state
+            corpus_dir, concurrency=max(2, ncpu - 4), steady_state=steady_state
         )
         queries = {} if headline_only else run_queries(sf_dir)
         print(json.dumps({

@@ -234,18 +234,23 @@ def validate_dataset(
     *,
     uniqueness_column: str | None = "url",
     uniqueness_ds: ray.data.Dataset | None = None,
+    uniqueness_paths: list[str] | None = None,
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] | None = None,
     path_column: str | None = PATH_COLUMN,
 ) -> ValidationResult:
     """One-shot validation of a Dataset: row checks + profile + uniqueness.
 
-    ``uniqueness_ds``: optionally a *pruned* re-read of just the key column
-    for the uniqueness shuffle. Ray's projection pushdown does not reach the
-    parquet scan through an ``include_paths`` read, so reusing ``ds`` would
-    re-ship every column (html blobs included) through the object store —
-    measured 5× slower. Callers that read from parquet should pass
-    ``read_parquet(paths, columns=[key])`` here.
+    Uniqueness source, fastest first:
+    - ``uniqueness_paths``: parquet fragment paths → explicit numpy hash
+      shuffle (stages.shuffle.parquet_key_uniqueness; ~15× faster than the
+      Dataset sort-aggregate on this node). Preferred whenever the corpus is
+      parquet on disk.
+    - ``uniqueness_ds``: a *pruned* re-read of just the key column. Ray's
+      projection pushdown does not reach the parquet scan through an
+      ``include_paths`` read, so reusing ``ds`` would re-ship every column
+      (html blobs included) through the object store — measured 5× slower.
+    - fallback: ``ds`` itself (generic but slowest).
 
     For the checkpointed / resumable variant see ``state.checkpoint.run_validation``.
     """
@@ -255,9 +260,15 @@ def validate_dataset(
                         concurrency=concurrency, path_column=path_column)
     )
     if uniqueness_column:
-        dup = uniqueness_violations(
-            uniqueness_ds if uniqueness_ds is not None else ds, uniqueness_column
-        )
+        if uniqueness_paths is not None:
+            from ..stages.shuffle import parquet_key_uniqueness
+
+            pdf = parquet_key_uniqueness(uniqueness_paths, uniqueness_column)
+            dup = _dup_frame_to_violations(pdf, uniqueness_column)
+        else:
+            dup = uniqueness_violations(
+                uniqueness_ds if uniqueness_ds is not None else ds, uniqueness_column
+            )
         result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
     return result
 
@@ -303,17 +314,23 @@ def uniqueness_violations(
 
     dup = counts.map_batches(_only_dups, batch_format="pyarrow")
     pdf = dup.to_pandas()  # duplicates only — small by construction
-    n = len(pdf)
-    if n == 0 or column not in pdf.columns:
-        n = 0
+    if len(pdf) == 0 or column not in pdf.columns:
         pdf = pd.DataFrame({column: [], "n": []})
-    cnt_col = "n"
+    return _dup_frame_to_violations(pdf, column, check_id)
+
+
+def _dup_frame_to_violations(
+    pdf: pd.DataFrame, column: str, check_id: str | None = None
+) -> pa.Table:
+    """(key, n) duplicate frame → violation rows in the canonical shape."""
+    check_id = check_id or f"unique:{column}"
+    n = len(pdf)
     return pa.table(
         {
             "url": pa.array(pdf[column].astype(str) if n else [], pa.string()),
             "check_id": pa.array([check_id] * n, pa.string()),
             "column": pa.array([column] * n, pa.string()),
-            "observed": pa.array([f"count={c}" for c in pdf[cnt_col]] if n else [],
+            "observed": pa.array([f"count={c}" for c in pdf["n"]] if n else [],
                                  pa.string()),
             "expected": pa.array(["count=1"] * n, pa.string()),
             "fragment_id": pa.nulls(n, pa.string()),

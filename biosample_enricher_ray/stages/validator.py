@@ -119,6 +119,11 @@ class Validator:
         profile: ProfileSpec | None = None,
         path_column: str | None = PATH_COLUMN,
     ) -> None:
+        # one Arrow compute thread per actor: the pool is already one actor
+        # per CPU, and each worker process otherwise spawns an
+        # os.cpu_count()-sized Arrow pool → N² threads of oversubscription
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.row_checks: list[RowCheck] = []
         self.schema_check: SchemaCheck | None = None
         for c in checks:

@@ -64,6 +64,20 @@ def test_detect_skewed_keys(corpus_dir):
     assert "example.com" in set(top["domain"])  # the hottest zipf domain
 
 
+def test_parquet_key_uniqueness_matches_dataset_path(corpus_dir):
+    from biosample_enricher_ray.pipelines.validate import uniqueness_violations
+    from biosample_enricher_ray.stages.shuffle import parquet_key_uniqueness
+
+    paths = sorted(glob.glob(f"{corpus_dir}/pages-*.parquet"))
+    fast = parquet_key_uniqueness(paths, "url")
+    slow = uniqueness_violations(ray.data.read_parquet(paths, columns=["url"]), "url")
+    slow_map = {u: int(o.split("=")[1])
+                for u, o in zip(slow["url"].to_pylist(), slow["observed"].to_pylist())}
+    fast_map = dict(zip(fast["url"], fast["n"].astype(int)))
+    assert fast_map == slow_map
+    assert len(fast_map) > 0
+
+
 def test_report_outputs(tmp_path, corpus_dir):
     ds = _pages(corpus_dir)
     result = validate_dataset(
