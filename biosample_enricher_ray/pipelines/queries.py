@@ -391,6 +391,47 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def part_stats_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Grouped stats over part (A1-matrix shape on a second fact table)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+            Sum("p_retailprice", alias_name="_sum_price"),
+        )
+        .to_pandas()
+    )
+    out["avg_retailprice"] = (out["_sum_price"] / out["n"]).round(3)
+    out = out.drop(columns=["_sum_price"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """JSON-path extraction from the props column (struct-path access kernel,
+    M13; metrics/aligner.py:37-111 analog) + grouped aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+                   Min("k", alias_name="min_k"), Max("k", alias_name="max_k"))
+        .to_pandas()
+    )
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def cosine_scores_embeddings(sf_dir: str) -> pd.DataFrame:
     """Exact cosine scores of every vec_id<20 vector against query vec 0
     (similarity-search kernel with a SQL oracle via list_cosine_similarity)."""
@@ -631,6 +672,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "top10_orders": top10_orders,
     "customers_per_region": customers_per_region,
+    "part_stats_by_brand": part_stats_by_brand,
+    "events_props_extract": events_props_extract,
     "cosine_scores_embeddings": cosine_scores_embeddings,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
@@ -729,6 +772,18 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "part_stats_by_brand": (
+        "SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size, "
+        "MAX(p_size) AS max_size, ROUND(SUM(p_retailprice) / COUNT(*), 3) "
+        "AS avg_retailprice FROM part GROUP BY p_brand ORDER BY p_brand"
+    ),
+    "events_props_extract": (
+        "SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+        "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "cosine_scores_embeddings": (
         "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, "
