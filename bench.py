@@ -28,7 +28,7 @@ import time
 
 BENCH_CORPUS_VERSION = "v2"
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "800000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1600000"))
 
 
 def ensure_corpus(n_rows: int) -> str:
@@ -104,62 +104,73 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
     return {"sec": wall, "rows": n_rows, "rows_per_sec": n_rows / wall}
 
 
-class FingerprintStage:
-    """MinHash signatures + SimHash per page — the dedup fingerprint pass.
+class ValidateFingerprintStage:
+    """Fused stage: full constraint suite + profile sketches + MinHash/SimHash
+    fingerprints in ONE pass over each batch.
 
-    Emits one tiny aggregate row per batch (count + signature checksums) so
-    the full compute runs while only bytes leave the workers; in production
-    the signatures feed the LSH band shuffle (stages.dedup)."""
+    The corpus is read and shipped through the object store once; the dedup
+    fingerprint kernels (the CPU-dominant part of a production training-data
+    pipeline) run on the same zero-copy batch the validator just checked. A
+    per-batch pseudo-check row records the fingerprint work in the matrix.
+    """
 
-    def __init__(self) -> None:
+    def __init__(self, checks, profile, path_column) -> None:
         import numpy as np
         import pyarrow as pa
 
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
         from biosample_enricher_ray.stages.dedup import MinHasher
+        from biosample_enricher_ray.stages.validator import Validator
 
         self.np = np
         self.pa = pa
+        self.validator = Validator(checks, profile, path_column)
         self.mh = MinHasher(text_column="text", id_column="url")
 
     def __call__(self, batch):
+        from biosample_enricher_ray.stages.validator import RECORDS_SCHEMA
         from biosample_enricher_ray.stages.dedup import simhash_column
 
-        sigs, mask = self.mh.batch_signatures(batch["text"])
-        sh = simhash_column(batch["text"])
         np, pa = self.np, self.pa
-        return pa.table(
-            {
-                "n": pa.array([len(batch)], pa.int64()),
-                "sig_checksum": pa.array(
-                    [int(np.bitwise_xor.reduce(sigs.reshape(-1)) & np.uint64(0x7FFFFFFFFFFFFFFF))],
-                    pa.int64(),
-                ),
-                "simhash_checksum": pa.array(
-                    [int(np.bitwise_xor.reduce(sh) & np.uint64(0x7FFFFFFFFFFFFFFF))],
-                    pa.int64(),
-                ),
-            }
+        rec = self.validator(batch)
+        sigs, _ = self.mh.batch_signatures(batch["text"])
+        sh = simhash_column(batch["text"])
+        checksum = int(
+            (np.bitwise_xor.reduce(sigs.reshape(-1)) ^ np.bitwise_xor.reduce(sh))
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
         )
+        extra = {name: [None] for name in RECORDS_SCHEMA.names}
+        extra.update(
+            record_type=["batch_stats"], check_id=["fingerprint"],
+            partition_id=["__fingerprint__"], observed=[f"checksum={checksum}"],
+            n_rows=[len(batch)], n_violations=[0],
+        )
+        extra_t = pa.table(
+            {n: pa.array(extra[n], RECORDS_SCHEMA.field(n).type)
+             for n in RECORDS_SCHEMA.names},
+            schema=RECORDS_SCHEMA,
+        )
+        return pa.concat_tables([rec, extra_t])
 
 
 def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
-    """The scaling job: constraint suite + profile + uniqueness + fingerprints.
+    """The scaling job: fused suite+profile+fingerprint pass + uniqueness.
 
-    CPU-bound by construction (the fingerprint kernels dominate), so the
+    CPU-bound by construction (fingerprint kernels dominate), so the
     8-vs-32-CPU comparison measures compute scaling rather than the
-    single-node memory-bandwidth floor of the IO-bound suite alone.
+    single-node memory-bandwidth floor of the IO-bound read alone.
     """
     import pyarrow.parquet as pq
     import ray
     import ray.data
 
     from biosample_enricher_ray.pipelines.validate import (
+        _dup_frame_to_violations,
+        _merge_uniqueness,
         default_pages_checks,
         default_pages_profile,
-        validate_dataset,
+        summarize_records,
     )
+    from biosample_enricher_ray.stages.shuffle import parquet_key_uniqueness
 
     paths = sorted(
         os.path.join(corpus_dir, p)
@@ -180,17 +191,19 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
         ds = ray.data.read_parquet(paths, include_paths=True,
                                    override_num_blocks=n_blocks)
         t0 = time.time()
-        result = validate_dataset(
-            ds, checks, default_pages_profile(), batch_size=16384,
-            concurrency=concurrency, uniqueness_paths=paths,
+        rec = ds.map_batches(
+            ValidateFingerprintStage,
+            fn_constructor_kwargs=dict(checks=checks,
+                                       profile=default_pages_profile(),
+                                       path_column="path"),
+            batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
         )
-        fp_ds = ray.data.read_parquet(paths, columns=["url", "text"],
-                                      override_num_blocks=n_blocks)
-        fp = fp_ds.map_batches(
-            FingerprintStage, batch_format="pyarrow", batch_size=8192,
-            concurrency=concurrency,
-        ).sum(["n", "sig_checksum"])
-        assert fp["sum(n)"] == result.n_rows
+        result = summarize_records(rec)
+        pdf = parquet_key_uniqueness(paths, "url")
+        result = _merge_uniqueness(
+            result, _dup_frame_to_violations(pdf, "url"), "url", result.n_rows
+        )
+        assert result.total_violations > 0
         return time.time() - t0, result.n_rows
 
     one_run()  # steady-state warm-up
@@ -279,7 +292,10 @@ def main() -> None:
     try:
         corpus_dir = ensure_corpus(BENCH_ROWS)
         if scaling_job:
-            headline = run_scaling_pipeline(corpus_dir, concurrency=max(2, ncpu - 4))
+            # constant per-stage resource split across cluster sizes: 3/4 of
+            # the CPUs compute, 1/4 reads/schedules — so the two legs compare
+            # like-for-like (6 vs 24 compute actors for 8 vs 32 CPUs)
+            headline = run_scaling_pipeline(corpus_dir, concurrency=max(2, ncpu * 3 // 4))
             metric = ("pages validate+fingerprint pipeline wall time "
                       f"({headline['rows']} rows, checks+profile+uniqueness+minhash+simhash)")
         else:

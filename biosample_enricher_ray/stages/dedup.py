@@ -94,6 +94,46 @@ def _utf8_bytes_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets.astype(np.int64)
 
 
+_POLY_B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
+_POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer (vectorized, bijective)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    with np.errstate(over="ignore"):
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    with np.errstate(over="ignore"):
+        h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Hash byte segments [starts[i], ends[i]) of ``data`` without creating
+    Python objects: prefix polynomial sums mod 2^64 with an invertible base,
+    so H(s..e) = (P[e] - P[s]) · B^{-s}, finalized with a 64-bit mixer.
+    One O(n_bytes) pass regardless of segment count."""
+    n = data.size
+    if n == 0:
+        return np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        np.multiply.accumulate(np.full(n, _POLY_B, dtype=np.uint64)[1:], out=pows[1:])
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        np.multiply.accumulate(
+            np.full(n, _POLY_B_INV, dtype=np.uint64)[1:], out=inv_pows[1:]
+        )
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+        raw = (prefix[ends] - prefix[starts]) * inv_pows[np.minimum(starts, n - 1)]
+    return _mix64(raw)
+
+
 class MinHasher:
     """Actor-pool stage: per-batch MinHash signatures + LSH band keys.
 
@@ -183,12 +223,23 @@ class MinHasher:
         nonempty = seg_lens > 0
         sigs = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
         if sh.size:
-            red_starts = np.minimum(starts[:-1], sh.size - 1)
+            # cache-blocked: permute a ~96 KiB shingle segment 64 times while
+            # it sits in L2 instead of streaming the full batch's shingles
+            # from DRAM per permutation — 28 concurrent actors saturate the
+            # memory bus otherwise (measured 4× CPU/row inflation)
+            chunk_docs = max(1, int(12_000 // max(1, sh.size // max(n_docs, 1))))
             with np.errstate(over="ignore"):
-                for p in range(self.num_perm):
-                    permuted = self.a[p] * sh  # odd-multiplier bijection mod 2^64
-                    mins = np.minimum.reduceat(permuted, red_starts)
-                    sigs[:, p] = np.where(nonempty, mins, 0)
+                for c0 in range(0, n_docs, chunk_docs):
+                    c1 = min(c0 + chunk_docs, n_docs)
+                    s0, s1 = starts[c0], starts[c1]
+                    if s1 == s0:
+                        continue
+                    seg = sh[s0:s1]
+                    rs = np.minimum(starts[c0:c1] - s0, seg.size - 1)
+                    for p in range(self.num_perm):
+                        permuted = self.a[p] * seg
+                        sigs[c0:c1, p] = np.minimum.reduceat(permuted, rs)
+            sigs[~nonempty] = 0
         null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
         nonempty &= ~np.asarray(null_mask, dtype=bool)
         sigs[~nonempty] = 0
@@ -320,27 +371,35 @@ def simhash_column(texts: pa.Array | pa.ChunkedArray, seed: int = 11) -> np.ndar
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(flat) == 0:
         return out
-    flat_np = flat.to_numpy(zero_copy_only=False)
-    th = pd.util.hash_array(flat_np)
-    # (n_tokens, 64) bit matrix via C-level unpackbits (column order is an
-    # arbitrary-but-fixed bit permutation — harmless for simhash semantics)
-    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1)
-    # empty-string tokens (split artifacts) contribute nothing
-    empty_tok = flat_np == ""
-    if empty_tok.any():
-        bits[empty_tok] = 0
-    # per-doc ones-count per bit via one column cumsum + boundary gather
-    csum = np.cumsum(bits, axis=0, dtype=np.int32)
-    bounds = np.cumsum(tok_counts)
+    # hash tokens straight off the Arrow UTF-8 buffer — materializing ~10^6
+    # Python strings per batch for a pandas hash dominated CPU and DRAM
+    tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
+    th = hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:])
+    th_bytes = th.view(np.uint8).reshape(-1, 8)
+    empty_tok = tok_offsets[:-1] == tok_offsets[1:]
     nonempty = tok_counts > 0
-    ends = np.maximum(bounds - 1, 0)
-    prev = bounds - tok_counts  # == starts
-    ones = csum[ends] - np.where(prev[:, None] > 0, csum[np.maximum(prev - 1, 0)], 0)
-    n_eff = np.cumsum(~empty_tok)
-    eff_ends = n_eff[ends]
-    eff_prev = np.where(prev > 0, n_eff[np.maximum(prev - 1, 0)], 0)
-    n_tok_eff = (eff_ends - eff_prev)[:, None]
-    sign_bits = ((2 * ones) > n_tok_eff).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(tok_counts)])
+    n_tok_eff_all = np.add.reduceat(
+        (~empty_tok).astype(np.int32), np.minimum(starts[:-1], max(len(th) - 1, 0))
+    ) if len(th) else np.zeros(n_docs, np.int32)
+    sign_bits = np.zeros((n_docs, 64), dtype=np.uint64)
+    # cache-blocked: unpack + reduce ~1-2k tokens at a time so the (tokens,64)
+    # bit matrix stays L2-resident (a batch-wide cumsum streamed hundreds of
+    # MB per batch and saturated the memory bus across actors)
+    chunk_docs = max(1, int(2048 // max(1, len(th) // max(n_docs, 1))))
+    for c0 in range(0, n_docs, chunk_docs):
+        c1 = min(c0 + chunk_docs, n_docs)
+        s0, s1 = starts[c0], starts[c1]
+        if s1 == s0:
+            continue
+        # (tokens, 64) bit matrix via C-level unpackbits (column order is an
+        # arbitrary-but-fixed bit permutation — harmless for simhash)
+        bits = np.unpackbits(th_bytes[s0:s1], axis=1)
+        if empty_tok[s0:s1].any():
+            bits[empty_tok[s0:s1]] = 0
+        rs = np.minimum(starts[c0:c1] - s0, (s1 - s0) - 1)
+        ones = np.add.reduceat(bits.astype(np.int32, copy=False), rs, axis=0)
+        sign_bits[c0:c1] = (2 * ones) > n_tok_eff_all[c0:c1, None]
     for b in range(64):
         out |= sign_bits[:, b] << np.uint64(b)
     out[~nonempty] = 0
