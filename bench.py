@@ -128,12 +128,11 @@ class ValidateFingerprintStage:
 
     def __call__(self, batch):
         from biosample_enricher_ray.stages.validator import RECORDS_SCHEMA
-        from biosample_enricher_ray.stages.dedup import simhash_column
+        from biosample_enricher_ray.stages.dedup import text_fingerprints
 
         np, pa = self.np, self.pa
         rec = self.validator(batch)
-        sigs, _ = self.mh.batch_signatures(batch["text"])
-        sh = simhash_column(batch["text"])
+        sigs, _, sh = text_fingerprints(batch["text"], self.mh)
         checksum = int(
             (np.bitwise_xor.reduce(sigs.reshape(-1)) ^ np.bitwise_xor.reduce(sh))
             & np.uint64(0x7FFFFFFFFFFFFFFF)

@@ -111,6 +111,31 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grow-on-demand cached (B^i, B^-i) tables — input-independent, so each
+    worker process amortizes them across every batch it ever sees."""
+    pows = _POW_CACHE.get("pows")
+    if pows is None or pows.size < n:
+        size = max(n, 1 << 20)
+        with np.errstate(over="ignore"):
+            pows = np.empty(size, dtype=np.uint64)
+            pows[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _POLY_B, dtype=np.uint64)[1:], out=pows[1:]
+            )
+            inv = np.empty(size, dtype=np.uint64)
+            inv[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _POLY_B_INV, dtype=np.uint64)[1:], out=inv[1:]
+            )
+        _POW_CACHE["pows"] = pows
+        _POW_CACHE["inv"] = inv
+    return _POW_CACHE["pows"], _POW_CACHE["inv"]
+
+
 def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Hash byte segments [starts[i], ends[i]) of ``data`` without creating
     Python objects: prefix polynomial sums mod 2^64 with an invertible base,
@@ -119,19 +144,37 @@ def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.
     n = data.size
     if n == 0:
         return np.zeros(len(starts), dtype=np.uint64)
+    pows, inv_pows = _pow_tables(n)
     with np.errstate(over="ignore"):
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        np.multiply.accumulate(np.full(n, _POLY_B, dtype=np.uint64)[1:], out=pows[1:])
-        inv_pows = np.empty(n, dtype=np.uint64)
-        inv_pows[0] = 1
-        np.multiply.accumulate(
-            np.full(n, _POLY_B_INV, dtype=np.uint64)[1:], out=inv_pows[1:]
-        )
-        terms = (data.astype(np.uint64) + np.uint64(1)) * pows
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows[:n]
         prefix = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
         raw = (prefix[ends] - prefix[starts]) * inv_pows[np.minimum(starts, n - 1)]
     return _mix64(raw)
+
+
+def _token_hashes(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared tokenization for the fingerprint kernels.
+
+    One Arrow lower+split pass per batch; token hashes come straight off the
+    flattened tokens' UTF-8 buffer (no Python strings). Returns
+    (token_hashes, tok_counts_per_doc, empty_token_mask, null_doc_mask).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    null_mask = np.asarray(pc.is_null(texts).to_numpy(zero_copy_only=False), dtype=bool)
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(lowered, r"\s+")
+    flat = toks.flatten()
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return (np.empty(0, np.uint64), tok_counts,
+                np.empty(0, dtype=bool), null_mask)
+    tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
+    th = hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:])
+    empty_tok = tok_offsets[:-1] == tok_offsets[1:]
+    return th, tok_counts, empty_tok, null_mask
 
 
 class MinHasher:
@@ -141,12 +184,18 @@ class MinHasher:
     load-once singleton pattern, host_detector.py:21-45); ``__call__`` emits
     one row per (doc, band): (id, band, band_key, sig_bytes).
 
-    Fully vectorized across the batch: one rolling polynomial hash over the
-    column's raw UTF-8 buffer (zero copy) yields every document's byte
-    k-shingles at once; each of the ``num_perm`` permutations is a
-    multiply-shift bijection (odd multiplier mod 2^64 — a random bijection,
-    exactly the permutation MinHash wants) reduced per document with
-    ``np.minimum.reduceat``. ~20× faster than per-document hashing.
+    Fully vectorized across the batch: one Arrow lower+split pass flattens
+    every document's tokens, token hashes come straight off the UTF-8 buffer
+    (prefix polynomial, no Python strings), shingles are word ``shingle_k``-
+    grams combined from consecutive token hashes, and each of the
+    ``num_perm`` permutations is a multiply bijection (odd multiplier mod
+    2^64 — a random bijection, exactly the permutation MinHash wants)
+    reduced per document with cache-blocked ``np.minimum.reduceat``.
+
+    Word-gram shingles (vs byte shingles) keep the shingle stream ~6× smaller
+    — the byte-window variant's (n_bytes × k) hash matrix saturated DRAM
+    across a 28-actor pool — and agree with the word-n-gram Jaccard used by
+    ``verify_pairs_ngram_jaccard``.
     """
 
     def __init__(
@@ -155,7 +204,7 @@ class MinHasher:
         id_column: str = "doc_id",
         num_perm: int = 64,
         bands: int = 16,
-        shingle_k: int = 5,
+        shingle_k: int = 3,
         seed: int = 7,
     ) -> None:
         assert num_perm % bands == 0
@@ -169,56 +218,50 @@ class MinHasher:
         self.a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
         self.band_mix = (rng.integers(0, 1 << 63, size=self.rows_per_band,
                                       dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-        self._weights = (
-            np.uint64(1099511628211) ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
-        )
+        self._gram_mult = (rng.integers(0, 1 << 63, size=shingle_k,
+                                        dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
-    def _shingle_hashes_flat(self, data: np.ndarray, offsets: np.ndarray
-                             ) -> tuple[np.ndarray, np.ndarray]:
-        """Rolling k-gram hashes over the whole buffer + per-doc segment starts.
+    def _token_shingles(self, th: np.ndarray, tok_counts: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Word k-gram shingle hashes per doc from the flat token-hash array.
 
-        Returns (sh, starts) where sh is the concatenation of every doc's
-        shingle hashes (docs shorter than k get one padded shingle; empty
-        docs get segment length 0) and starts[i] is doc i's first index.
+        Returns (sh, starts): concatenated shingle hashes + per-doc segment
+        starts. Docs with 0 < tokens < k get one shingle over what they have.
         """
-        from numpy.lib.stride_tricks import sliding_window_view
-
         k = self.shingle_k
-        n_docs = len(offsets) - 1
-        lens = np.diff(offsets)
-        if data.size >= k:
-            wins = sliding_window_view(data, k)
+        n_docs = len(tok_counts)
+        m = th.size
+        # all windows over the flat array (windows crossing doc boundaries
+        # are cut away by the per-doc slicing below)
+        if m >= k:
             with np.errstate(over="ignore"):
-                all_h = (wins.astype(np.uint64) * self._weights).sum(axis=1,
-                                                                     dtype=np.uint64)
+                all_h = self._gram_mult[0] * th[: m - k + 1]
+                for i in range(1, k):
+                    all_h = all_h ^ (self._gram_mult[i] * th[i : m - k + 1 + i])
         else:
             all_h = np.empty(0, np.uint64)
-
-        n_shingles = np.maximum(lens - k + 1, 0)
-        short = (lens > 0) & (lens < k)
+        tok_starts = np.concatenate([[0], np.cumsum(tok_counts)])
+        n_shingles = np.maximum(tok_counts - k + 1, 0)
+        short = (tok_counts > 0) & (tok_counts < k)
         n_shingles[short] = 1
         starts = np.concatenate([[0], np.cumsum(n_shingles)])
         sh = np.empty(starts[-1], dtype=np.uint64)
-        # bulk fill: rows with >=1 real shingle take a contiguous slice of all_h
-        norm = np.flatnonzero(lens >= k)
-        for i in norm:
+        for i in np.flatnonzero(tok_counts >= k):
             s = starts[i]
-            sh[s : s + n_shingles[i]] = all_h[offsets[i] : offsets[i] + n_shingles[i]]
-        # short docs: pad to k bytes and hash once
-        for i in np.flatnonzero(short):
-            b = np.zeros(k, dtype=np.uint64)
-            b[: lens[i]] = data[offsets[i] : offsets[i + 1]]
-            with np.errstate(over="ignore"):
-                sh[starts[i]] = (b * self._weights).sum(dtype=np.uint64)
+            sh[s : s + n_shingles[i]] = all_h[tok_starts[i] : tok_starts[i] + n_shingles[i]]
+        with np.errstate(over="ignore"):
+            for i in np.flatnonzero(short):
+                acc = np.uint64(0)
+                for j in range(tok_counts[i]):
+                    acc = acc ^ (self._gram_mult[j] * th[tok_starts[i] + j])
+                sh[starts[i]] = acc
         return sh, starts
 
-    def batch_signatures(self, col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """(signatures (n, num_perm) uint64, nonempty mask). Null/empty rows
-        get all-zero signatures and mask False."""
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        data, offsets = _utf8_bytes_and_offsets(col)
-        sh, starts = self._shingle_hashes_flat(data, offsets)
-        n_docs = len(offsets) - 1
+    def signatures_from_tokens(
+        self, th: np.ndarray, tok_counts: np.ndarray, null_mask: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        sh, starts = self._token_shingles(th, tok_counts)
+        n_docs = len(tok_counts)
         seg_lens = np.diff(starts)
         nonempty = seg_lens > 0
         sigs = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
@@ -240,10 +283,25 @@ class MinHasher:
                         permuted = self.a[p] * seg
                         sigs[c0:c1, p] = np.minimum.reduceat(permuted, rs)
             sigs[~nonempty] = 0
-        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-        nonempty &= ~np.asarray(null_mask, dtype=bool)
+        nonempty &= ~null_mask
         sigs[~nonempty] = 0
         return sigs, nonempty
+
+    def batch_signatures(self, col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(signatures (n, num_perm) uint64, nonempty mask). Null/empty rows
+        get all-zero signatures and mask False."""
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        th, tok_counts, empty_tok, null_mask = _token_hashes(col)
+        # whitespace-only/empty docs tokenize to a single empty token: mask out
+        tok_starts = np.concatenate([[0], np.cumsum(tok_counts)])[:-1]
+        only_empty = (tok_counts == 1) & (
+            empty_tok[np.minimum(tok_starts, max(len(empty_tok) - 1, 0))]
+            if len(empty_tok) else False
+        )
+        sigs, mask = self.signatures_from_tokens(th, tok_counts, null_mask)
+        mask &= ~np.asarray(only_empty, dtype=bool)
+        sigs[~mask] = 0
+        return sigs, mask
 
     def signature(self, text: str) -> np.ndarray:
         """Single-doc signature (test/verification convenience)."""
@@ -361,22 +419,18 @@ def simhash_column(texts: pa.Array | pa.ChunkedArray, seed: int = 11) -> np.ndar
     all, and per-document ±1 bit sums come from ``np.add.reduceat`` over the
     flattened token segments.
     """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    n_docs = len(texts)
-    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
-    toks = pc.split_pattern_regex(lowered, r"\s+")
-    flat = toks.flatten()  # all tokens of all docs, in doc order
-    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    th, tok_counts, empty_tok, _null = _token_hashes(texts)
+    return simhash_from_tokens(th, tok_counts, empty_tok)
+
+
+def simhash_from_tokens(th: np.ndarray, tok_counts: np.ndarray,
+                        empty_tok: np.ndarray) -> np.ndarray:
+    """SimHash from the shared token-hash representation (see _token_hashes)."""
+    n_docs = len(tok_counts)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if len(flat) == 0:
+    if len(th) == 0:
         return out
-    # hash tokens straight off the Arrow UTF-8 buffer — materializing ~10^6
-    # Python strings per batch for a pandas hash dominated CPU and DRAM
-    tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
-    th = hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:])
     th_bytes = th.view(np.uint8).reshape(-1, 8)
-    empty_tok = tok_offsets[:-1] == tok_offsets[1:]
     nonempty = tok_counts > 0
     starts = np.concatenate([[0], np.cumsum(tok_counts)])
     n_tok_eff_all = np.add.reduceat(
@@ -404,6 +458,23 @@ def simhash_column(texts: pa.Array | pa.ChunkedArray, seed: int = 11) -> np.ndar
         out |= sign_bits[:, b] << np.uint64(b)
     out[~nonempty] = 0
     return out
+
+
+def text_fingerprints(
+    texts: pa.Array | pa.ChunkedArray, minhasher: "MinHasher"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-tokenization fused fingerprint pass: (minhash sigs, mask, simhash).
+
+    The fused bench/production stage computes both signatures from a single
+    Arrow lower+split + token-hash pass — tokenization is roughly half the
+    per-row cost of either kernel alone.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    th, tok_counts, empty_tok, null_mask = _token_hashes(texts)
+    sigs, mask = minhasher.signatures_from_tokens(th, tok_counts, null_mask)
+    sh = simhash_from_tokens(th, tok_counts, empty_tok)
+    return sigs, mask, sh
 
 
 class SimHasher:
