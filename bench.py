@@ -28,7 +28,7 @@ import time
 
 BENCH_CORPUS_VERSION = "v2"
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1600000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "6400000"))
 
 
 def ensure_corpus(n_rows: int) -> str:
@@ -190,13 +190,16 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
         ds = ray.data.read_parquet(paths, include_paths=True,
                                    override_num_blocks=n_blocks)
         t0 = time.time()
+        from biosample_enricher_ray.stages.validator import merge_sketch_records_batch
+
         rec = ds.map_batches(
             ValidateFingerprintStage,
             fn_constructor_kwargs=dict(checks=checks,
                                        profile=default_pages_profile(),
                                        path_column="path"),
-            batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
-        )
+            batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+        ).map_batches(merge_sketch_records_batch, batch_format="pyarrow",
+                      batch_size=8192)
         result = summarize_records(rec)
         pdf = parquet_key_uniqueness(paths, "url")
         result = _merge_uniqueness(
@@ -241,7 +244,9 @@ def main() -> None:
 
     if args.scaling:
         results = {}
-        for ncpu in (8, 32):
+        # 32 first: the shared corpus is generated once by whichever leg runs
+        # first, and parallel generation is 4× faster with the larger session
+        for ncpu in (32, 8):
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),

@@ -101,6 +101,42 @@ def extract_domain(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.is_valid(domain), domain, pa.scalar(None, pa.string()))
 
 
+def canonicalize_url(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical URL form for dedup/cache keys (http_cache.py:20-44 analog):
+    lowercase scheme+host, strip default ports, drop fragments, strip a
+    single trailing slash from the path."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ext = pc.extract_regex(
+        urls,
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/:?#\s]+)"
+        r"(?::(?P<port>\d+))?(?P<rest>[^#\s]*)",
+    )
+    scheme = pc.utf8_lower(pc.struct_field(ext, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ext, "host"))
+    port = pc.struct_field(ext, "port")
+    rest = pc.fill_null(pc.struct_field(ext, "rest"), "")
+    # strip one trailing slash (empty path stays empty)
+    rest = pc.replace_substring_regex(rest, r"/$", "")
+    default_port = pc.or_kleene(
+        pc.and_kleene(pc.equal(scheme, "http"), pc.equal(port, "80")),
+        pc.and_kleene(pc.equal(scheme, "https"), pc.equal(port, "443")),
+    )
+    # RE2 yields "" (not null) for unmatched optional groups
+    has_port = pc.greater(pc.utf8_length(pc.fill_null(port, "")), 0)
+    keep_port = pc.and_kleene(has_port, pc.invert(pc.fill_null(default_port, False)))
+    port_part = pc.if_else(
+        keep_port,
+        pc.binary_join_element_wise(pa.array([":"] * len(urls)),
+                                    pc.fill_null(port, ""), ""),
+        pa.scalar("", pa.string()),
+    )
+    joined = pc.binary_join_element_wise(
+        scheme, pa.array(["://"] * len(urls)), host, port_part, rest, ""
+    )
+    return pc.if_else(pc.is_valid(scheme), joined, pa.scalar(None, pa.string()))
+
+
 def extract_tld(domains: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Last dot-separated label of the domain (``example.com`` → ``com``)."""
     if isinstance(domains, pa.ChunkedArray):

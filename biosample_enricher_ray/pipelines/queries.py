@@ -391,6 +391,104 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def top_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Best-observation argmax reduce per key (A7/O2,
+    elevation/service.py:284-329): each user's highest-value event,
+    deterministic tiebreak on event_id. Only the first 200 users to keep the
+    result small."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["user_id"], 200))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        return g.head(1)
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(argmax, batch_format="pandas")
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(4)
+    return (
+        out[["user_id", "event_id", "value"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def lineitem_orderdate_alignment(sf_dir: str) -> pd.DataFrame:
+    """Temporal-alignment predicate across tables (M15,
+    metrics/aligner.py:251-295): lineitems must ship within [orderdate,
+    orderdate + 150 days]. Broadcast the orders date map (small side via
+    ray.put), evaluate the tolerance predicate per batch — no shuffle."""
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"])
+    keys = orders["o_orderkey"].to_numpy()
+    order_sort = np.argsort(keys)
+    map_ref = ray.put((keys[order_sort],
+                       orders["o_orderdate"].to_numpy()[order_sort]))
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    class AlignmentChecker:
+        def __init__(self) -> None:
+            self.keys, self.dates = ray.get(map_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, ok)
+            od = self.dates[idx]
+            delta_days = (ship - od) / np.timedelta64(1, "D")
+            early = delta_days < 0
+            late = delta_days > 150
+            return pa.table(
+                {
+                    "n_too_early": pa.array([int(early.sum())], pa.int64()),
+                    "n_too_late": pa.array([int(late.sum())], pa.int64()),
+                    "n_rows": pa.array([len(t)], pa.int64()),
+                }
+            )
+
+    agg = ds.map_batches(AlignmentChecker, batch_format="pyarrow",
+                         concurrency=2).sum(["n_too_early", "n_too_late", "n_rows"])
+    return pd.DataFrame(
+        {
+            "n_too_early": [int(agg["sum(n_too_early)"])],
+            "n_too_late": [int(agg["sum(n_too_late)"])],
+            "n_rows": [int(agg["sum(n_rows)"])],
+        }
+    )
+
+
+def union_event_halves(sf_dir: str) -> pd.DataFrame:
+    """Multiplexed union source (S6, adapters.py:953-972 → ds.union):
+    split events on event_id parity, union the streams, aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1))
+
+    a = ds.map_batches(even, batch_format="pyarrow")
+    b = _read(sf_dir, "events", columns=["event_id", "value"]).map_batches(
+        odd, batch_format="pyarrow"
+    )
+    u = a.union(b)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "sum_value": pa.array([pc.sum(t["value"]).as_py() or 0.0])})
+
+    agg = u.map_batches(partial, batch_format="pyarrow").sum(["n", "sum_value"])
+    return pd.DataFrame({"n": [int(agg["sum(n)"])],
+                         "sum_value": [round(agg["sum(sum_value)"], 2)]})
+
+
 def part_stats_by_brand(sf_dir: str) -> pd.DataFrame:
     """Grouped stats over part (A1-matrix shape on a second fact table)."""
     ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
@@ -672,6 +770,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "top10_orders": top10_orders,
     "customers_per_region": customers_per_region,
+    "top_event_per_user": top_event_per_user,
+    "lineitem_orderdate_alignment": lineitem_orderdate_alignment,
+    "union_event_halves": union_event_halves,
     "part_stats_by_brand": part_stats_by_brand,
     "events_props_extract": events_props_extract,
     "cosine_scores_embeddings": cosine_scores_embeddings,
@@ -772,6 +873,24 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "top_event_per_user": (
+        "SELECT user_id, event_id, ROUND(value, 4) AS value FROM events "
+        "WHERE user_id < 200 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY value DESC, event_id ASC) = 1 ORDER BY user_id"
+    ),
+    "lineitem_orderdate_alignment": (
+        "SELECT COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0)"
+        " AS n_too_early, "
+        "COALESCE(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 150 DAY "
+        "THEN 1 ELSE 0 END), 0) AS n_too_late, COUNT(*) AS n_rows "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ),
+    "union_event_halves": (
+        "SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM ("
+        "SELECT event_id, value FROM events WHERE event_id % 2 = 0 "
+        "UNION ALL SELECT event_id, value FROM events WHERE event_id % 2 = 1)"
     ),
     "part_stats_by_brand": (
         "SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size, "

@@ -163,7 +163,7 @@ def records_dataset(
         import ray
 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    return ds.map_batches(
+    rec = ds.map_batches(
         Validator,
         fn_constructor_kwargs=dict(checks=checks, profile=profile,
                                    path_column=path_column),
@@ -171,6 +171,15 @@ def records_dataset(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    if profile is not None:
+        # in-plane combiner: collapse per-batch sketch partials per
+        # (partition, column) before they reach the driver's final merge —
+        # the two-level tree merge (SURVEY.md §2.6 A3)
+        from ..stages.validator import merge_sketch_records_batch
+
+        rec = rec.map_batches(merge_sketch_records_batch, batch_format="pyarrow",
+                              batch_size=8192)
+    return rec
 
 
 def summarize_records(records: ray.data.Dataset | pa.Table) -> ValidationResult:

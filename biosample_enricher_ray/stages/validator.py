@@ -307,6 +307,69 @@ class Validator:
 # ------------------------------------------------------------------ merge side
 
 
+def merge_partial_payloads(payloads: list[bytes]) -> bytes:
+    """Merge serialized per-batch profile partials into ONE partial (same
+    format) — the combiner for the in-plane tree merge: a map_batches stage
+    collapses hundreds of per-batch sketch records per (partition, column)
+    down to a handful before the driver's final merge."""
+    merged = merge_profile_payloads(payloads)
+    part: dict[str, Any] = {
+        "n": merged["n"],
+        "null_count": merged["null_count"],
+    }
+    if merged.get("min") is not None:
+        part["min"] = merged["min"]
+        part["max"] = merged["max"]
+    if "_tdigest" in merged:
+        part["tdigest"] = merged["_tdigest"].to_bytes()
+    if "_hll" in merged:
+        part["hll"] = merged["_hll"].to_bytes()
+    if "_hist" in merged:
+        part["hist"] = merged["_hist"].to_bytes()
+    return pickle.dumps(part, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def merge_sketch_records_batch(t: pa.Table) -> pa.Table:
+    """Records-stream combiner: pass violations/stats through, merge sketch
+    rows by (partition_id, column) within the batch."""
+    import pyarrow.compute as pc_
+
+    kind = t["record_type"]
+    sketch_mask = pc_.equal(kind, "sketch")
+    n_sketch = int(pc_.sum(pc_.cast(sketch_mask, pa.int64())).as_py() or 0)
+    if n_sketch <= 1:
+        return t
+    others = t.filter(pc_.invert(sketch_mask))
+    sk = t.filter(sketch_mask)
+    groups: dict[tuple[str, str], dict[str, Any]] = {}
+    cols = sk["column"].to_pylist()
+    parts = sk["partition_id"].to_pylist()
+    frags = sk["fragment_id"].to_pylist()
+    payloads = sk["payload"].to_pylist()
+    n_rows = sk["n_rows"].to_pylist()
+    for c, p, f, pay, nr in zip(cols, parts, frags, payloads, n_rows):
+        g = groups.setdefault((p, c), {"frag": f, "payloads": [], "n_rows": 0})
+        g["payloads"].append(pay)
+        g["n_rows"] += nr or 0
+    rows: dict[str, list] = {name: [] for name in RECORDS_SCHEMA.names}
+    for (p, c), g in groups.items():
+        for name in RECORDS_SCHEMA.names:
+            rows[name].append(None)
+        rows["record_type"][-1] = "sketch"
+        rows["column"][-1] = c
+        rows["kind"][-1] = "profile"
+        rows["partition_id"][-1] = p
+        rows["fragment_id"][-1] = g["frag"]
+        rows["n_rows"][-1] = g["n_rows"]
+        rows["payload"][-1] = merge_partial_payloads(g["payloads"])
+    merged_t = pa.table(
+        {name: pa.array(rows[name], RECORDS_SCHEMA.field(name).type)
+         for name in RECORDS_SCHEMA.names},
+        schema=RECORDS_SCHEMA,
+    )
+    return pa.concat_tables([others, merged_t])
+
+
 def merge_profile_payloads(payloads: list[bytes]) -> dict[str, Any]:
     """Merge per-batch profile partials into one column profile dict."""
     out: dict[str, Any] = {"n": 0, "null_count": 0, "min": None, "max": None}
