@@ -53,6 +53,10 @@ def ensure_corpus(n_rows: int) -> str:
         write_dims(out_dir)
         with open(marker, "w") as f:
             f.write("ok")
+        # flush the freshly written corpus now: otherwise the kernel writes
+        # back tens of GB of dirty pages DURING the first timed run and the
+        # benchmark measures background IO, not the pipeline
+        os.sync()
     return out_dir
 
 
