@@ -329,9 +329,25 @@ def merge_partial_payloads(payloads: list[bytes]) -> bytes:
     return pickle.dumps(part, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def make_sketch_merger(collapse_partitions: bool = False):
+    """Build a records-stream combiner (optionally ignoring partition ids —
+    valid for one-shot runs where sketch state is never checkpointed
+    per-partition; cuts the driver's final merge to ~one partial per column
+    per combiner batch)."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        return _merge_sketch_records(t, collapse_partitions)
+
+    return merge
+
+
 def merge_sketch_records_batch(t: pa.Table) -> pa.Table:
     """Records-stream combiner: pass violations/stats through, merge sketch
     rows by (partition_id, column) within the batch."""
+    return _merge_sketch_records(t, False)
+
+
+def _merge_sketch_records(t: pa.Table, collapse_partitions: bool) -> pa.Table:
     import pyarrow.compute as pc_
 
     kind = t["record_type"]
@@ -344,6 +360,8 @@ def merge_sketch_records_batch(t: pa.Table) -> pa.Table:
     groups: dict[tuple[str, str], dict[str, Any]] = {}
     cols = sk["column"].to_pylist()
     parts = sk["partition_id"].to_pylist()
+    if collapse_partitions:
+        parts = ["__all__"] * len(parts)
     frags = sk["fragment_id"].to_pylist()
     payloads = sk["payload"].to_pylist()
     n_rows = sk["n_rows"].to_pylist()
