@@ -153,27 +153,38 @@ def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.
 
 
 def _token_hashes(
-    texts: pa.Array | pa.ChunkedArray,
+    texts: pa.Array | pa.ChunkedArray, lowercase: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tokenization for the fingerprint kernels.
 
-    One Arrow lower+split pass per batch; token hashes come straight off the
-    flattened tokens' UTF-8 buffer (no Python strings). Returns
+    One Arrow split pass per batch; token hashes come straight off the
+    flattened tokens' UTF-8 buffer (no Python strings). Chunked inputs are
+    processed per chunk — combining a chunked text column would copy every
+    byte. ``lowercase=False`` skips the case-fold pass (2 full text passes)
+    for case-sensitive fingerprints. Returns
     (token_hashes, tok_counts_per_doc, empty_token_mask, null_doc_mask).
     """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
     null_mask = np.asarray(pc.is_null(texts).to_numpy(zero_copy_only=False), dtype=bool)
-    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
-    toks = pc.split_pattern_regex(lowered, r"\s+")
-    flat = toks.flatten()
+    filled = pc.fill_null(texts, "")
+    if lowercase:
+        filled = pc.utf8_lower(filled)
+    toks = pc.split_pattern_regex(filled, r"\s+")
     tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(flat) == 0:
+    chunks = toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]
+    th_parts: list[np.ndarray] = []
+    empty_parts: list[np.ndarray] = []
+    for ch in chunks:
+        flat = ch.flatten()
+        if len(flat) == 0:
+            continue
+        tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
+        th_parts.append(hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:]))
+        empty_parts.append(tok_offsets[:-1] == tok_offsets[1:])
+    if not th_parts:
         return (np.empty(0, np.uint64), tok_counts,
                 np.empty(0, dtype=bool), null_mask)
-    tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
-    th = hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:])
-    empty_tok = tok_offsets[:-1] == tok_offsets[1:]
+    th = np.concatenate(th_parts) if len(th_parts) > 1 else th_parts[0]
+    empty_tok = np.concatenate(empty_parts) if len(empty_parts) > 1 else empty_parts[0]
     return th, tok_counts, empty_tok, null_mask
 
 
@@ -206,8 +217,10 @@ class MinHasher:
         bands: int = 16,
         shingle_k: int = 3,
         seed: int = 7,
+        lowercase: bool = True,
     ) -> None:
         assert num_perm % bands == 0
+        self.lowercase = lowercase
         self.text_column = text_column
         self.id_column = id_column
         self.num_perm = num_perm
@@ -291,7 +304,7 @@ class MinHasher:
         """(signatures (n, num_perm) uint64, nonempty mask). Null/empty rows
         get all-zero signatures and mask False."""
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        th, tok_counts, empty_tok, null_mask = _token_hashes(col)
+        th, tok_counts, empty_tok, null_mask = _token_hashes(col, self.lowercase)
         # whitespace-only/empty docs tokenize to a single empty token: mask out
         tok_starts = np.concatenate([[0], np.cumsum(tok_counts)])[:-1]
         only_empty = (tok_counts == 1) & (
@@ -471,7 +484,7 @@ def text_fingerprints(
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    th, tok_counts, empty_tok, null_mask = _token_hashes(texts)
+    th, tok_counts, empty_tok, null_mask = _token_hashes(texts, minhasher.lowercase)
     sigs, mask = minhasher.signatures_from_tokens(th, tok_counts, null_mask)
     sh = simhash_from_tokens(th, tok_counts, empty_tok)
     return sigs, mask, sh

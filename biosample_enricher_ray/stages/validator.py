@@ -85,9 +85,11 @@ class ProfileSpec:
 
 
 def _numeric_view(col: pa.ChunkedArray | pa.Array, as_length: bool) -> np.ndarray | None:
-    """Float view of a column (or of its element lengths) for sketch updates."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    """Float view of a column (or of its element lengths) for sketch updates.
+
+    Length/cast kernels run on the (possibly chunked) column FIRST so only the
+    small numeric result is ever combined — combining a chunked binary column
+    copies every payload byte (measured as a DRAM-contention hot spot)."""
     t = col.type
     if as_length:
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -100,6 +102,8 @@ def _numeric_view(col: pa.ChunkedArray | pa.Array, as_length: bool) -> np.ndarra
         col = pc.cast(col, pa.int64())
     elif not (pa.types.is_integer(t) or pa.types.is_floating(t)):
         return None
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     vals = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     return vals[np.isfinite(vals)]
 
