@@ -66,8 +66,9 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
     import ray.data
 
     from biosample_enricher_ray.pipelines.validate import (
-        default_pages_checks,
-        default_pages_profile,
+        shrink_html_batch,
+        shrunk_pages_checks,
+        shrunk_pages_profile,
         validate_dataset,
     )
 
@@ -88,14 +89,17 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
     n_blocks = max(len(paths), concurrency)
 
     def one_run() -> tuple[float, "object"]:
-        checks = default_pages_checks(
+        checks = shrunk_pages_checks(
             lang_dim_ref=ray.put(lang), domain_dim_ref=ray.put(dom)
         )
         ds = ray.data.read_parquet(paths, include_paths=True,
                                    override_num_blocks=n_blocks)
+        # html -> html_len at the scan (fuses with ReadParquet): blob bytes
+        # never enter the object store or the validator stage
+        ds = ds.map_batches(shrink_html_batch, batch_format="pyarrow")
         t0 = time.time()
         result = validate_dataset(
-            ds, checks, default_pages_profile(), batch_size=16384,
+            ds, checks, shrunk_pages_profile(), batch_size=16384,
             concurrency=concurrency, uniqueness_paths=paths,
         )
         return time.time() - t0, result
@@ -169,8 +173,9 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
     from biosample_enricher_ray.pipelines.validate import (
         _dup_frame_to_violations,
         _merge_uniqueness,
-        default_pages_checks,
-        default_pages_profile,
+        shrink_html_batch,
+        shrunk_pages_checks,
+        shrunk_pages_profile,
         summarize_records,
     )
     from biosample_enricher_ray.stages.shuffle import parquet_key_uniqueness
@@ -189,10 +194,11 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
     n_blocks = max(len(paths), concurrency)
 
     def one_run(run_paths):
-        checks = default_pages_checks(lang_dim_ref=ray.put(lang),
-                                      domain_dim_ref=ray.put(dom))
+        checks = shrunk_pages_checks(lang_dim_ref=ray.put(lang),
+                                     domain_dim_ref=ray.put(dom))
         ds = ray.data.read_parquet(run_paths, include_paths=True,
                                    override_num_blocks=max(len(run_paths), concurrency))
+        ds = ds.map_batches(shrink_html_batch, batch_format="pyarrow")
         t0 = time.time()
         from biosample_enricher_ray.stages.validator import merge_sketch_records_batch
 
@@ -205,7 +211,7 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
         rec = ds.map_batches(
             ValidateFingerprintStage,
             fn_constructor_kwargs=dict(checks=checks,
-                                       profile=default_pages_profile(),
+                                       profile=shrunk_pages_profile(),
                                        path_column="path"),
             batch_format="pyarrow", batch_size=16384, concurrency=concurrency,
         ).map_batches(make_sketch_merger(collapse_partitions=True),

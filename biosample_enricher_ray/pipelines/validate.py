@@ -93,6 +93,80 @@ def default_pages_checks(
     return checks
 
 
+SHRUNK_PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html_len", pa.int64()),
+        pa.field("text", pa.large_string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def shrink_html_batch(t: pa.Table) -> pa.Table:
+    """Reduce ``html`` (≈80% of corpus bytes) to its length at the scan.
+
+    Every downstream check needs only html *validity/length*, never the
+    payload bytes — so this stateless map (which Ray fuses with ReadParquet)
+    keeps the blobs out of the object store and the validator stage entirely:
+    the "prune at the read" rule applied to a derived column. Null html →
+    null html_len, preserving the cross-field semantics.
+    """
+    cols: dict[str, object] = {}
+    for name in t.column_names:
+        if name == "html":
+            cols["html_len"] = pc.cast(pc.binary_length(t["html"]), pa.int64())
+        else:
+            cols[name] = t[name]
+    return pa.table(cols)
+
+
+def shrunk_pages_checks(
+    lang_dim_ref: Any = None,
+    domain_dim_ref: Any = None,
+    max_text_len: int = 50_000_000,
+    max_html_len: int = 512 * 1024 * 1024,
+) -> list[RowCheck]:
+    """The standard suite re-targeted at the shrunk batch (html → html_len)."""
+    checks: list[RowCheck] = [
+        SchemaCheck(declared=SHRUNK_PAGES_SCHEMA),
+        NotNullCheck(column="url"),
+        NotNullCheck(column="warc_ts"),
+        NotEmptyCheck(column="text"),
+        RegexCheck(column="url", pattern=URL_REGEX, check_id="url_format"),
+        RegexCheck(column="lang", pattern=LANG_REGEX, check_id="lang_format"),
+        RangeCheck(column="warc_ts", lo=_TS_LO, hi=_TS_HI, check_id="ts_window"),
+        LengthRangeCheck(column="text", lo=1, hi=max_text_len),
+        RangeCheck(column="html_len", lo=1, hi=max_html_len,
+                   check_id="len_range:html", expected=f"length in [1, {max_html_len}]"),
+        CrossFieldCheck(if_column="text", then_column="html_len",
+                        check_id="cross:text->html"),
+        CompletenessCheck(columns=COMPLETENESS_COLUMNS, threshold=0.75),
+    ]
+    if lang_dim_ref is not None:
+        checks.append(
+            ReferentialCheck(column="lang", dim_ref=lang_dim_ref, check_id="lang_in_dim")
+        )
+    if domain_dim_ref is not None:
+        checks.append(
+            ReferentialCheck(column="url", dim_ref=domain_dim_ref, key_fn="domain",
+                             check_id="domain_in_dim")
+        )
+    return checks
+
+
+def shrunk_pages_profile() -> ProfileSpec:
+    """Profile spec over the shrunk batch (html_len already numeric)."""
+    base = default_pages_profile()
+    return ProfileSpec(
+        columns=["url", "warc_ts", "html_len", "text", "lang"],
+        distinct_columns=["url", "lang"],
+        length_columns=["text"],
+        histogram_edges=base.histogram_edges,
+    )
+
+
 def default_pages_profile() -> ProfileSpec:
     """Profile spec: null rates everywhere, HLL on url/lang, TDigest+histogram
     on len(text) and warc_ts (drift inputs; FIXTURES.md §3)."""

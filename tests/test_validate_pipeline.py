@@ -85,6 +85,31 @@ def test_full_suite_catches_planted_violations(corpus_dir):
     assert q[0.25] < q[0.5] < q[0.99]
 
 
+def test_shrunk_suite_matches_full_suite(corpus_dir):
+    """html→html_len at the scan must not change any check's verdict."""
+    from biosample_enricher_ray.pipelines.validate import (
+        shrink_html_batch,
+        shrunk_pages_checks,
+        shrunk_pages_profile,
+    )
+
+    full = validate_dataset(
+        _read(corpus_dir), default_pages_checks(), default_pages_profile(),
+        batch_size=512,
+    )
+    shrunk_ds = _read(corpus_dir).map_batches(shrink_html_batch, batch_format="pyarrow")
+    shrunk = validate_dataset(
+        shrunk_ds, shrunk_pages_checks(), shrunk_pages_profile(), batch_size=512
+    )
+    a = full.matrix.groupby("check_id")["n_violations"].sum()
+    b = shrunk.matrix.groupby("check_id")["n_violations"].sum()
+    for check_id in a.index:
+        assert b.get(check_id, 0) == a[check_id], check_id
+    # html length profile preserved (as html_len numeric column)
+    assert shrunk.profiles["html_len"]["null_count"] == full.profiles["html"]["null_count"]
+    assert shrunk.profiles["html_len"]["max"] == full.profiles["html"]["max"]
+
+
 def test_validation_deterministic(corpus_dir):
     ds1 = validate_dataset(_read(corpus_dir), default_pages_checks(), batch_size=512)
     ds2 = validate_dataset(_read(corpus_dir), default_pages_checks(), batch_size=256)
