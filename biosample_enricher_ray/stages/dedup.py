@@ -155,37 +155,64 @@ def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.
 def _token_hashes(
     texts: pa.Array | pa.ChunkedArray, lowercase: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Shared tokenization for the fingerprint kernels.
+    """Shared tokenization for the fingerprint kernels — zero string copies.
 
-    One Arrow split pass per batch; token hashes come straight off the
-    flattened tokens' UTF-8 buffer (no Python strings). Chunked inputs are
-    processed per chunk — combining a chunked text column would copy every
-    byte. ``lowercase=False`` skips the case-fold pass (2 full text passes)
-    for case-sensitive fingerprints. Returns
-    (token_hashes, tok_counts_per_doc, empty_token_mask, null_doc_mask).
+    Tokens are located by a direct numpy whitespace scan over the column's
+    raw UTF-8 buffer (space/tab/newline/CR; ASCII whitespace — adequate for
+    fingerprints) and hashed in place via ``hash_segments``. No Arrow split
+    array, no token-string materialization: the earlier regex-split pipeline
+    wrote ~3 KB of token arrays per 600-byte document and showed up as DRAM
+    contention across the actor pool. ``lowercase`` folds ASCII case in one
+    cheap pass. Chunked inputs are processed per chunk (combining would copy
+    every text byte).
+
+    Returns (token_hashes, tok_counts_per_doc, empty_token_mask — always
+    all-False with this tokenizer, kept for interface stability — and
+    null_doc_mask). Whitespace-only documents get 0 tokens.
     """
     null_mask = np.asarray(pc.is_null(texts).to_numpy(zero_copy_only=False), dtype=bool)
-    filled = pc.fill_null(texts, "")
-    if lowercase:
-        filled = pc.utf8_lower(filled)
-    toks = pc.split_pattern_regex(filled, r"\s+")
-    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    chunks = toks.chunks if isinstance(toks, pa.ChunkedArray) else [toks]
+    chunks = texts.chunks if isinstance(texts, pa.ChunkedArray) else [texts]
     th_parts: list[np.ndarray] = []
-    empty_parts: list[np.ndarray] = []
+    count_parts: list[np.ndarray] = []
     for ch in chunks:
-        flat = ch.flatten()
-        if len(flat) == 0:
+        if len(ch) == 0:
             continue
-        tok_data, tok_offsets = _utf8_bytes_and_offsets(flat)
-        th_parts.append(hash_segments(tok_data, tok_offsets[:-1], tok_offsets[1:]))
-        empty_parts.append(tok_offsets[:-1] == tok_offsets[1:])
+        data, offsets = _utf8_bytes_and_offsets(ch)
+        n_docs = len(ch)
+        if data.size == 0:
+            count_parts.append(np.zeros(n_docs, np.int64))
+            continue
+        if lowercase:
+            upper = (data >= 65) & (data <= 90)
+            if upper.any():
+                data = np.where(upper, data | np.uint8(0x20), data)
+        nonws = ~((data == 32) | (data == 10) | (data == 9) | (data == 13))
+        doc_starts = offsets[:-1]
+        # break before position p if p==0, prev byte is ws, or p starts a doc
+        prev_break = np.empty(data.size, dtype=bool)
+        prev_break[0] = True
+        np.logical_not(nonws[:-1], out=prev_break[1:])
+        # trailing empty docs have start == data.size — nothing to mark
+        prev_break[doc_starts[doc_starts < data.size]] = True
+        next_break = np.empty(data.size, dtype=bool)
+        next_break[-1] = True
+        np.logical_not(nonws[1:], out=next_break[:-1])
+        inner_starts = doc_starts[(doc_starts > 0) & (doc_starts < data.size)]
+        next_break[inner_starts - 1] = True
+        starts_idx = np.flatnonzero(nonws & prev_break)
+        ends_idx = np.flatnonzero(nonws & next_break) + 1
+        th_parts.append(hash_segments(data, starts_idx, ends_idx))
+        doc_of_token = np.searchsorted(offsets, starts_idx, side="right") - 1
+        count_parts.append(np.bincount(doc_of_token, minlength=n_docs).astype(np.int64))
+    tok_counts = (
+        np.concatenate(count_parts) if count_parts
+        else np.zeros(len(null_mask), np.int64)
+    )
     if not th_parts:
         return (np.empty(0, np.uint64), tok_counts,
                 np.empty(0, dtype=bool), null_mask)
     th = np.concatenate(th_parts) if len(th_parts) > 1 else th_parts[0]
-    empty_tok = np.concatenate(empty_parts) if len(empty_parts) > 1 else empty_parts[0]
-    return th, tok_counts, empty_tok, null_mask
+    return th, tok_counts, np.zeros(th.size, dtype=bool), null_mask
 
 
 class MinHasher:
