@@ -349,6 +349,7 @@ def main() -> None:
             "num_cpus": ncpu,
             "rows": headline["rows"],
             "rows_per_sec": round(headline["rows_per_sec"], 1),
+            "all_runs_sec": headline.get("all_runs_sec"),
         }))
     finally:
         ray.shutdown()

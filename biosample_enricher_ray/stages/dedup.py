@@ -441,11 +441,16 @@ def minhash_lsh_candidates(
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
         pairs_in_group, batch_format="pandas"
     )
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("est_jaccard", ascending=False).head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    # candidate pairs are tiny by construction (near-dups only) — dedup across
+    # bands on the driver instead of paying a second distributed groupby
+    pdf = pairs.to_pandas()
+    if len(pdf):
+        pdf = (
+            pdf.sort_values("est_jaccard", ascending=False)
+            .drop_duplicates(subset=["id_a", "id_b"], keep="first")
+            .reset_index(drop=True)
+        )
+    return ray.data.from_pandas(pdf)
 
 
 # ----------------------------------------------------------------- SimHash
