@@ -56,7 +56,8 @@ def exact_dedup_groups(
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(text_column, sort=True)[id_column].agg(["min", "size"])
+        # dropna=False: SQL GROUP BY keeps the NULL-content group
+        agg = g.groupby(text_column, sort=True, dropna=False)[id_column].agg(["min", "size"])
         return pd.DataFrame(
             {"keep_id": agg["min"].to_numpy(), "n": agg["size"].astype("int64").to_numpy()}
         )
