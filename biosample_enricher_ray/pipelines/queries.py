@@ -391,6 +391,48 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session-window aggregate: per-user sessions split at >30-minute gaps.
+
+    The engine's windowed-operator pattern (task brief; guide §streaming):
+    partition by key, sort by ts within the group, windowing in pandas inside
+    ``groupby(key).map_groups`` — ordering is guaranteed only within each
+    group, stated explicitly. Users < 100 to keep the result compact.
+    """
+    gap = pd.Timedelta(minutes=30)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["user_id"], 100))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        new_session = g["ts"].diff() > gap
+        session_id = new_session.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=session_id)
+            .groupby("session_id")
+            .agg(n_events=("event_id", "size"), start=("ts", "min"), end=("ts", "max"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        # exact integer microseconds — second-granularity diffs have
+        # boundary-counting semantics in SQL that float rounding can't match
+        out["duration_us"] = (
+            (out["end"] - out["start"]).astype("timedelta64[us]").astype("int64")
+        )
+        return out[["user_id", "session_id", "n_events", "duration_us"]]
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def top_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Best-observation argmax reduce per key (A7/O2,
     elevation/service.py:284-329): each user's highest-value event,
@@ -770,6 +812,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "top10_orders": top10_orders,
     "customers_per_region": customers_per_region,
+    "sessionize_events": sessionize_events,
     "top_event_per_user": top_event_per_user,
     "lineitem_orderdate_alignment": lineitem_orderdate_alignment,
     "union_event_halves": union_event_halves,
@@ -873,6 +916,22 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "sessionize_events": (
+        "WITH ordered AS ("
+        "  SELECT user_id, event_id, ts,"
+        "         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE"
+        "              THEN 1 ELSE 0 END AS new_session"
+        "  FROM events WHERE user_id < 100"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), sessions AS ("
+        "  SELECT user_id, event_id, ts,"
+        "         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "             ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM ordered"
+        ") SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us "
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"
     ),
     "top_event_per_user": (
         "SELECT user_id, event_id, ROUND(value, 4) AS value FROM events "
