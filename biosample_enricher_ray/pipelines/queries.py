@@ -546,7 +546,8 @@ def part_stats_by_brand(sf_dir: str) -> pd.DataFrame:
     )
     out["avg_retailprice"] = (out["_sum_price"] / out["n"]).round(3)
     out = out.drop(columns=["_sum_price"])
-    out["n"] = out["n"].astype("int64")
+    for c in ("n", "min_size", "max_size"):
+        out[c] = out[c].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
@@ -844,18 +845,21 @@ ORACLE_SQL: dict[str, str] = {
         "(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END)) / 4.0), 4) "
         "AS avg_completeness, COUNT(*) AS n_rows FROM documents"
     ),
+    # CAST(... AS BIGINT) on every SUM(CASE ...): DuckDB's integer SUM returns
+    # HUGEINT, which lands in pandas as float64 and fails the driver's
+    # dtype-sensitive value hash against the engine's int64.
     "regex_check_documents": (
-        "SELECT COALESCE(SUM(CASE WHEN lang IS NOT NULL AND NOT "
-        "regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END), 0) AS n_lang_violations, "
-        "COALESCE(SUM(CASE WHEN source IS NOT NULL AND NOT "
-        "regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END), 0) AS n_source_violations, "
+        "SELECT CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL AND NOT "
+        "regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lang_violations, "
+        "CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL AND NOT "
+        "regexp_full_match(source, 'src[0-9]+') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_source_violations, "
         "COUNT(*) AS n_rows FROM documents"
     ),
     "range_check_events": (
-        "SELECT COALESCE(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) "
-        "THEN 1 ELSE 0 END), 0) AS n_value_violations, "
-        "COALESCE(SUM(CASE WHEN ts IS NOT NULL AND (ts < TIMESTAMP '2024-01-05' OR "
-        "ts > TIMESTAMP '2024-02-01') THEN 1 ELSE 0 END), 0) AS n_ts_violations, "
+        "SELECT CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_value_violations, "
+        "CAST(COALESCE(SUM(CASE WHEN ts IS NOT NULL AND (ts < TIMESTAMP '2024-01-05' OR "
+        "ts > TIMESTAMP '2024-02-01') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ts_violations, "
         "COUNT(*) AS n_rows FROM events"
     ),
     "uniqueness_doc_id": (
@@ -867,8 +871,8 @@ ORACLE_SQL: dict[str, str] = {
         "ORDER BY keep_id"
     ),
     "referential_events_customers": (
-        "SELECT COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN "
-        "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS n_orphans, "
+        "SELECT CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN "
+        "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans, "
         "COUNT(*) AS n_rows FROM events"
     ),
     "distinct_counts_documents": (
@@ -926,8 +930,8 @@ ORACLE_SQL: dict[str, str] = {
         "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         "), sessions AS ("
         "  SELECT user_id, event_id, ts,"
-        "         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "             ROWS UNBOUNDED PRECEDING) AS session_id"
+        "         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id"
         "  FROM ordered"
         ") SELECT user_id, session_id, COUNT(*) AS n_events, "
         "CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us "
@@ -940,10 +944,10 @@ ORACLE_SQL: dict[str, str] = {
         "ORDER BY value DESC, event_id ASC) = 1 ORDER BY user_id"
     ),
     "lineitem_orderdate_alignment": (
-        "SELECT COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0)"
-        " AS n_too_early, "
-        "COALESCE(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 150 DAY "
-        "THEN 1 ELSE 0 END), 0) AS n_too_late, COUNT(*) AS n_rows "
+        "SELECT CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0)"
+        " AS BIGINT) AS n_too_early, "
+        "CAST(COALESCE(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 150 DAY "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_too_late, COUNT(*) AS n_rows "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ),
     "union_event_halves": (
@@ -952,13 +956,13 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL SELECT event_id, value FROM events WHERE event_id % 2 = 1)"
     ),
     "part_stats_by_brand": (
-        "SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size, "
-        "MAX(p_size) AS max_size, ROUND(SUM(p_retailprice) / COUNT(*), 3) "
+        "SELECT p_brand, COUNT(*) AS n, CAST(MIN(p_size) AS BIGINT) AS min_size, "
+        "CAST(MAX(p_size) AS BIGINT) AS max_size, ROUND(SUM(p_retailprice) / COUNT(*), 3) "
         "AS avg_retailprice FROM part GROUP BY p_brand ORDER BY p_brand"
     ),
     "events_props_extract": (
         "SELECT event_type, COUNT(*) AS n, "
-        "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
         "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
         "FROM events GROUP BY event_type ORDER BY event_type"

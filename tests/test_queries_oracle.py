@@ -25,14 +25,15 @@ def con(sf01_dir):
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver gate: sort columns by name, round floats, but keep
+    integer dtypes AS-IS — the driver's value hash is dtype-sensitive, so an
+    engine int64 against an oracle float64/int32 must FAIL here too."""
     df = df.copy()
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(6)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -52,7 +53,11 @@ def test_query_matches_oracle(name, con, sf01_dir):
         f"{name}: columns {list(ray_out.columns)} != {list(sql_out.columns)}"
     )
     assert len(ray_out) == len(sql_out), f"{name}: {len(ray_out)} != {len(sql_out)} rows"
-    pd.testing.assert_frame_equal(ray_out, sql_out, check_dtype=False,
+    assert dict(ray_out.dtypes.astype(str)) == dict(sql_out.dtypes.astype(str)), (
+        f"{name}: dtypes {dict(ray_out.dtypes.astype(str))} != "
+        f"{dict(sql_out.dtypes.astype(str))}"
+    )
+    pd.testing.assert_frame_equal(ray_out, sql_out, check_dtype=True,
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
