@@ -724,16 +724,20 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
-    """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    """Brute-force cosine top-10 for the 3 lowest vec_ids as queries.
+
+    Deterministic: float64 scores rounded to 6 dp, ties broken by vec_id —
+    matches the DuckDB list_cosine_similarity + QUALIFY oracle exactly."""
     from ..stages.ann import brute_force_topk
 
     q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(q_tbl["vec_id"].to_numpy())[:3]
+    vec_ids = q_tbl["vec_id"].to_numpy()
+    order = np.argsort(vec_ids)[:3]
     queries = np.stack(
-        [np.asarray(q_tbl["embedding"].to_pylist()[i], dtype=np.float32) for i in order]
+        [np.asarray(q_tbl["embedding"].to_pylist()[i], dtype=np.float64) for i in order]
     )
     ds = _read(sf_dir, "embeddings")
-    return brute_force_topk(ds, queries, k=10)
+    return brute_force_topk(ds, queries, k=10, query_ids=vec_ids[order])
 
 
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
@@ -971,5 +975,102 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3) "
         "AS cosine FROM embeddings e WHERE e.vec_id < 20 ORDER BY e.vec_id"
+    ),
+    # Flagship oracle: the pages view is a deterministic SQL projection of
+    # documents (sources/derive.py:24-55 — url concat, modular warc_ts,
+    # html wrapper), so every check's violation count is SQL-expressible.
+    "pages_validation_summary": (
+        "WITH pages AS ("
+        "  SELECT"
+        "    CASE WHEN doc_id IS NULL THEN NULL ELSE"
+        "      'https://' || COALESCE(source, 'unknown') || '.example.org/doc/'"
+        "      || CAST(doc_id AS VARCHAR) END AS url,"
+        "    CASE WHEN doc_id IS NULL THEN NULL ELSE"
+        "      TIMESTAMP '2025-01-01' +"
+        "      to_microseconds((doc_id * 9973331) % 15552000000000) END AS warc_ts,"
+        "    '<html><body>' || COALESCE(text, '') || '</body></html>' AS html,"
+        "    text, lang"
+        "  FROM documents"
+        "), tot AS (SELECT COUNT(*) AS n FROM pages) "
+        "SELECT check_id, n_violations, n_rows, n_violations = 0 AS passed FROM ("
+        "  SELECT 'schema' AS check_id, CAST(0 AS BIGINT) AS n_violations,"
+        "         (SELECT n FROM tot) AS n_rows"
+        "  UNION ALL SELECT 'not_null:url', COUNT(*) FILTER (WHERE url IS NULL),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'not_null:warc_ts', COUNT(*) FILTER (WHERE warc_ts IS NULL),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'not_empty:text',"
+        "    COUNT(*) FILTER (WHERE text IS NULL OR trim(text) = ''),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'url_format', COUNT(*) FILTER (WHERE url IS NOT NULL AND"
+        "    NOT regexp_matches(url, '^https?://[A-Za-z0-9.-]+(:\\d+)?(/[^\\s]*)?$')),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'lang_format', COUNT(*) FILTER (WHERE lang IS NOT NULL AND"
+        "    NOT regexp_matches(lang, '^[a-z]{2}$')), (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'ts_window', COUNT(*) FILTER (WHERE warc_ts IS NOT NULL AND"
+        "    (warc_ts < TIMESTAMP '2025-01-01' OR warc_ts > TIMESTAMP '2025-07-01')),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'len_range:text', COUNT(*) FILTER (WHERE text IS NOT NULL"
+        "    AND (length(text) < 1 OR length(text) > 50000000)),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'len_range:html', COUNT(*) FILTER (WHERE html IS NOT NULL"
+        "    AND (octet_length(CAST(html AS BLOB)) < 1"
+        "         OR octet_length(CAST(html AS BLOB)) > 536870912)),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'cross:text->html', COUNT(*) FILTER (WHERE text IS NOT NULL"
+        "    AND length(text) > 0 AND html IS NULL), (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'completeness', COUNT(*) FILTER (WHERE"
+        "    (CASE WHEN url IS NOT NULL THEN 1 ELSE 0 END +"
+        "     CASE WHEN warc_ts IS NOT NULL THEN 1 ELSE 0 END +"
+        "     CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END +"
+        "     CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) / 4.0 < 0.75),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'lang_in_dim', COUNT(*) FILTER (WHERE lang IS NOT NULL AND"
+        "    lang NOT IN ('en','de','fr','es','it','pt','nl','ru','zh','ja','ko','ar')),"
+        "    (SELECT n FROM tot) FROM pages"
+        "  UNION ALL SELECT 'unique:url', (SELECT COUNT(*) FROM ("
+        "    SELECT url FROM pages GROUP BY url HAVING COUNT(*) > 1)),"
+        "    (SELECT n FROM tot)"
+        ") ORDER BY check_id"
+    ),
+    # Drift oracle: FixedHistogram bucket = searchsorted(edges, v, right) over
+    # edges linspace(0,500,26) with under/overflow bins; KS = max |cdf diff|,
+    # PSI with 1e-6 clamping — all window/aggregate SQL.
+    "drift_events_value": (
+        "WITH v AS (SELECT value, ts FROM events"
+        "           WHERE value IS NOT NULL AND isfinite(value)),"
+        "b AS (SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 26"
+        "             ELSE CAST(FLOOR(value / 20) AS INT) + 1 END AS bucket,"
+        "             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_a"
+        "      FROM v),"
+        "g AS (SELECT bucket, SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM b GROUP BY bucket),"
+        "allb AS (SELECT range AS bucket FROM range(27)),"
+        "j AS (SELECT allb.bucket, COALESCE(g.na, 0) AS na, COALESCE(g.nb, 0) AS nb"
+        "      FROM allb LEFT JOIN g USING (bucket)),"
+        "t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j),"
+        "c AS (SELECT j.bucket,"
+        "             SUM(j.na) OVER (ORDER BY j.bucket) / t.ta AS ca,"
+        "             SUM(j.nb) OVER (ORDER BY j.bucket) / t.tb AS cb,"
+        "             GREATEST(j.na / t.ta, 0.000001) AS p,"
+        "             GREATEST(j.nb / t.tb, 0.000001) AS q"
+        "      FROM j, t) "
+        "SELECT ROUND(MAX(ABS(ca - cb)), 4) AS ks,"
+        "       ROUND(SUM((p - q) * LN(p / q)), 4) AS psi,"
+        "       (SELECT CAST(ta AS BIGINT) FROM t) AS n_first,"
+        "       (SELECT CAST(tb AS BIGINT) FROM t) AS n_second FROM c"
+    ),
+    "ann_topk_embeddings": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
+        "           WHERE vec_id < 3),"
+        "s AS (SELECT q.query_id, e.vec_id,"
+        # cast FLOAT[] -> DOUBLE[] so DuckDB matches the engine's float64 math
+        "             ROUND(CAST(list_cosine_similarity("
+        "                 CAST(e.embedding AS DOUBLE[]),"
+        "                 CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 6) AS score"
+        "      FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, score,"
+        "       CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS rank FROM s"
+        " WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)"
+        " QUALIFY ROW_NUMBER() OVER w <= 10 ORDER BY query_id, rank"
     ),
 }

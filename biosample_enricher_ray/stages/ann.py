@@ -46,9 +46,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+SCORE_DECIMALS = 6  # tie-granularity: scores equal at 6 dp tie-break on id
+
+
 class CosineTopK:
     """Actor-pool stage: local top-k cosine scores per query against a
-    broadcast query matrix; query matrix fetched once per actor."""
+    broadcast query matrix; query matrix fetched once per actor.
+
+    Deterministic across runs and block layouts: scores are computed in
+    float64, rounded to ``SCORE_DECIMALS``, and the local k are selected by
+    the total order (score DESC, id ASC) — so the global reduce (same order)
+    is exact and reproducible even at score ties.
+    """
 
     def __init__(
         self,
@@ -60,24 +69,28 @@ class CosineTopK:
         q = queries_ref
         if isinstance(q, ray.ObjectRef):
             q = ray.get(q)
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
         self.k = k
         self.id_column = id_column
         self.embedding_column = embedding_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_to_matrix(batch[self.embedding_column]))
+        vecs = _normalize(_to_matrix(batch[self.embedding_column]).astype(np.float64))
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
-        scores = vecs @ self.q.T  # (n, q)
+        scores = np.round(vecs @ self.q.T, SCORE_DECIMALS)  # (n, q)
         k = min(self.k, scores.shape[0])
-        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, q)
-        q_idx = np.repeat(np.arange(scores.shape[1]), k)
-        v_idx = top.T.reshape(-1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(scores.shape[1]):
+            # lexsort: primary -score (desc), secondary id (asc)
+            order = np.lexsort((ids, -scores[:, j]))[:k]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(scores[order, j])
         return pa.table(
             {
-                "query_id": pa.array(q_idx.astype(np.int64)),
-                self.id_column: pa.array(ids[v_idx]),
-                "score": pa.array(scores[v_idx, q_idx].astype(np.float64)),
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_column: pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
@@ -90,15 +103,17 @@ def brute_force_topk(
     id_column: str = "vec_id",
     embedding_column: str = "embedding",
     concurrency: int | None = None,
+    query_ids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Global cosine top-k per query row of ``queries`` (q, d).
 
     Returns a DataFrame (query_id, vec_id, score, rank) — small by
-    construction (q × k rows).
+    construction (q × k rows). ``query_ids`` optionally relabels the
+    0..q-1 positional query index with caller ids.
     """
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs=dict(
@@ -109,12 +124,15 @@ def brute_force_topk(
         concurrency=concurrency,
     ).to_pandas()  # num_batches × k × q rows — small
     out = (
-        partials.sort_values(["query_id", "score"], ascending=[True, False])
+        partials.sort_values(["query_id", "score", id_column],
+                             ascending=[True, False, True])
         .groupby("query_id", as_index=False)
         .head(k)
         .reset_index(drop=True)
     )
     out["rank"] = out.groupby("query_id").cumcount()
+    if query_ids is not None:
+        out["query_id"] = np.asarray(query_ids, dtype=np.int64)[out["query_id"]]
     return out
 
 
