@@ -481,16 +481,20 @@ def lineitem_orderdate_alignment(sf_dir: str) -> pd.DataFrame:
         def __call__(self, t: pa.Table) -> pa.Table:
             ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
             ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, ok)
+            idx = np.clip(np.searchsorted(self.keys, ok), 0, len(self.keys) - 1)
+            # rows whose orderkey is absent from orders are excluded entirely
+            # (inner-join semantics, matching the oracle) instead of silently
+            # reading a neighboring order's date
+            matched = self.keys[idx] == ok
             od = self.dates[idx]
             delta_days = (ship - od) / np.timedelta64(1, "D")
-            early = delta_days < 0
-            late = delta_days > 150
+            early = (delta_days < 0) & matched
+            late = (delta_days > 150) & matched
             return pa.table(
                 {
                     "n_too_early": pa.array([int(early.sum())], pa.int64()),
                     "n_too_late": pa.array([int(late.sum())], pa.int64()),
-                    "n_rows": pa.array([len(t)], pa.int64()),
+                    "n_rows": pa.array([int(matched.sum())], pa.int64()),
                 }
             )
 

@@ -92,7 +92,14 @@ def _utf8_bytes_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     offsets = np.frombuffer(buffers[1], dtype=off_dtype,
                             count=len(col) + 1, offset=col.offset * np.dtype(off_dtype).itemsize)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
-    return data, offsets.astype(np.int64)
+    offsets = offsets.astype(np.int64)
+    # Rebase to the slice: a sliced array's offsets point into the PARENT
+    # data buffer (offsets[0] > 0), and the buffer may extend past the last
+    # doc. Without rebasing, downstream scans crash (negative doc_of_token)
+    # or silently hash trailing sliced-off bytes into the last token.
+    data = data[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    return data, offsets
 
 
 _POLY_B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64

@@ -36,9 +36,12 @@ def salted_group_count(
         keys = t[key_column].combine_chunks().drop_null()
         salts = (hash64(keys) % np.uint64(salt)).astype(np.int32)
         pre = pa.table({key_column: keys, "__salt": pa.array(salts)})
-        # combiner: collapse within the batch first
+        # combiner: collapse within the batch first; rename BY NAME — pyarrow
+        # versions differ on whether key columns precede the aggregate column
         g = pre.group_by([key_column, "__salt"]).aggregate([([], "count_all")])
-        return g.rename_columns([key_column, "__salt", "n"])
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names]
+        )
 
     partial = (
         ds.select_columns([key_column])

@@ -181,7 +181,19 @@ def run_validation(
     """
     os.makedirs(out_dir, exist_ok=True)
     plans = plan_partitions(input_paths, files_per_partition)
-    done = committed_partitions(out_dir) if resume else {}
+    commits = committed_partitions(out_dir) if resume else {}
+    # A commit is reusable only if it was produced from the SAME input
+    # fragments under the SAME suite version: partition ids are positional
+    # (part-NNNNN over the sorted path list), so adding/removing an input
+    # file or changing the suite silently shifts what each id means — such
+    # stale commits must re-execute, not merge into the result.
+    done = {
+        p.partition_id: commits[p.partition_id]
+        for p in plans
+        if p.partition_id in commits
+        and commits[p.partition_id].get("input_fragment_ids") == p.fragments
+        and commits[p.partition_id].get("suite_version") == SUITE_VERSION
+    }
     todo = [p for p in plans if p.partition_id not in done]
 
     if todo:

@@ -65,3 +65,28 @@ def test_resume_skips_committed_partitions(tmp_path, corpus_dir):
     manifest3 = json.load(open(os.path.join(out, "run_manifest.json")))
     assert manifest3["executed_partitions"] == []
     assert result3.total_violations == result.total_violations
+
+
+def test_stale_commit_reexecutes(tmp_path, corpus_dir):
+    """A commit whose input fragments or suite version no longer match the
+    current plan must be re-executed, not silently reused (positional
+    partition ids shift when the input file list changes)."""
+    out = str(tmp_path / "stale")
+    checks = default_pages_checks()
+    paths = _paths(corpus_dir)
+
+    run_validation(paths, out, checks, None, files_per_partition=1,
+                   max_concurrent_partitions=2, batch_size=512)
+    manifest = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert manifest["executed_partitions"] == [
+        "part-00000", "part-00001", "part-00002", "part-00003"]
+
+    # drop the first input file: every positional partition id now refers to
+    # a DIFFERENT fragment -> all old commits are stale and must re-execute
+    result = run_validation(paths[1:], out, checks, None, files_per_partition=1,
+                            max_concurrent_partitions=2, batch_size=512)
+    manifest2 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert manifest2["resumed_partitions"] == []
+    assert manifest2["executed_partitions"] == [
+        "part-00000", "part-00001", "part-00002"]
+    assert result.n_rows == 3000

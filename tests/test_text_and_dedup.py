@@ -189,3 +189,26 @@ def test_multimodal_stub_plumbing():
 
     with pytest.raises(NotImplementedError):
         ImageDecoder(use_fake_decoder=False)
+
+
+def test_token_hashes_handle_sliced_arrays():
+    """Sliced Arrow arrays (offset > 0, or buffer extending past the slice)
+    must fingerprint identically to the compacted copy — a slice's offsets
+    point into the parent data buffer."""
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.dedup import simhash_column, MinHasher
+
+    texts = ["alpha beta gamma delta", "the quick brown fox", "lorem ipsum dolor",
+             "x y z", "tail bytes here"]
+    full = pa.array(texts, pa.string())
+    want = simhash_column(full)
+    for start, length in [(1, 2), (0, 2), (2, 3), (4, 1)]:
+        sl = full.slice(start, length)
+        got = simhash_column(sl)
+        assert list(got) == list(want[start : start + length]), (start, length)
+    mh = MinHasher()
+    sig_full, _ = mh.batch_signatures(full)
+    for start, length in [(1, 3), (0, 3)]:
+        sig_sl, _ = mh.batch_signatures(full.slice(start, length))
+        assert (sig_sl == sig_full[start : start + length]).all()
