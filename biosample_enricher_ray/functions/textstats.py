@@ -132,38 +132,90 @@ def detect_language(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+_FP_B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
+_FP_B_INV = np.uint64(pow(int(_FP_B), -1, 1 << 64))
+_FP_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _fp_pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grow-on-demand (B^i, B^-i) tables for the fingerprint base (the
+    dedup._pow_tables idiom; input-independent, amortized per worker)."""
+    pows = _FP_POW_CACHE.get("pows")
+    if pows is None or pows.size < n:
+        size = max(n, 1 << 20)
+        with np.errstate(over="ignore"):
+            pows = np.empty(size, dtype=np.uint64)
+            pows[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _FP_B, dtype=np.uint64)[1:], out=pows[1:]
+            )
+            inv = np.empty(size, dtype=np.uint64)
+            inv[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _FP_B_INV, dtype=np.uint64)[1:], out=inv[1:]
+            )
+        _FP_POW_CACHE["pows"] = pows
+        _FP_POW_CACHE["inv"] = inv
+    return _FP_POW_CACHE["pows"], _FP_POW_CACHE["inv"]
+
+
 def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray, window: int = 8) -> pa.Array:
     """Document fingerprint: min of rolling polynomial hashes over byte windows.
 
     A winnowing-style content fingerprint (stable under identical bytes —
     the reference's canonical-payload-hash idea, elevation/service.py:388-391,
     without full sha256 cost elsewhere). Returns uint64 as int64 column.
+
+    Vectorized over the column's flat UTF-8 buffer (no per-row ``.as_py()``):
+    window hash H_i = Σ_j b[i+j]·B^{w-1-j} is computed for EVERY buffer
+    position in one pass via prefix sums with the invertible base —
+    H_i = (S[i+w] − S[i])·B^{i+w-1} where S is the cumsum of b[i]·B^{-i} —
+    then positions whose window crosses a document boundary are masked and
+    per-document minima come from one ``np.minimum.reduceat``. Docs shorter
+    than the window use the original FNV-style fold (rare tail, looped on
+    the numpy buffer).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    B = np.uint64(1099511628211)
-    for i, v in enumerate(texts):
-        t = v.as_py()
-        if not t:
-            continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if b.size < window:
-            acc = np.uint64(14695981039346656037)
-            for x in b:
-                acc = np.uint64((int(acc) * int(B) ^ int(x)) & 0xFFFFFFFFFFFFFFFF)
-            out[i] = acc
-            continue
-        # rolling polynomial hash via cumulative powers (vectorized)
-        powers = np.empty(window, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for k in range(1, window):
-            powers[k] = np.uint64((int(powers[k - 1]) * int(B)) & 0xFFFFFFFFFFFFFFFF)
-        # windows as strided view
-        from numpy.lib.stride_tricks import sliding_window_view
+    from ..stages.dedup import _utf8_bytes_and_offsets
 
-        wins = sliding_window_view(b, window)
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return pa.array(out.view(np.int64))
+    data, offsets = _utf8_bytes_and_offsets(texts)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = ends - starts
+    N = data.size
+    w = window
+    M = N - w + 1  # number of window positions in the flat buffer
+    if M > 0:
+        pows, inv_pows = _fp_pow_tables(N + 1)
         with np.errstate(over="ignore"):
-            hashes = (wins * powers[::-1]).sum(axis=1, dtype=np.uint64)
-        out[i] = hashes.min()
+            terms = data.astype(np.uint64) * inv_pows[:N]
+            S = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+            H = (S[w:] - S[:M]) * pows[w - 1 : N]
+        # mask positions whose window crosses a doc boundary (each doc's last
+        # w-1 positions) via a range-diff accumulator
+        delta = np.zeros(M + 1, dtype=np.int32)
+        bad_s = np.clip(np.maximum(starts, ends - w + 1), 0, M)
+        bad_e = np.clip(ends, 0, M)
+        np.add.at(delta, bad_s, 1)
+        np.add.at(delta, bad_e, -1)
+        bad = np.cumsum(delta[:-1]) > 0
+        H[bad] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        long_docs = lens >= w
+        if long_docs.any():
+            rs = np.minimum(starts[long_docs], M - 1)
+            mins = np.minimum.reduceat(H, rs)
+            out[long_docs] = mins
+    # short non-empty docs: sequential multiply-xor fold (not prefix-summable)
+    for i in np.flatnonzero((lens > 0) & (lens < w)):
+        acc = np.uint64(14695981039346656037)
+        with np.errstate(over="ignore"):
+            for x in data[starts[i] : ends[i]]:
+                acc = (acc * _FP_B) ^ np.uint64(x)
+        out[i] = acc
+    null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False).astype(bool)
+    out[null_mask] = 0
     return pa.array(out.view(np.int64))

@@ -710,6 +710,16 @@ def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def dedup_clusters_documents(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters with keeper assignment (doc_id, keeper_id,
+    cluster_size) — the reference's keep-one-representative semantics
+    (adapters.py:330-337) as a first-class corpus operator."""
+    from ..stages.dedup import minhash_dedup_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(ds, jaccard_threshold=0.7)
+
+
 def simhash_documents(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per document (near-dup signature table)."""
     from ..stages.dedup import SimHasher
@@ -834,6 +844,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
+    "dedup_clusters_documents": dedup_clusters_documents,
     "simhash_documents": simhash_documents,
     "ann_topk_embeddings": ann_topk_embeddings,
     "hll_distinct_documents": hll_distinct_documents,

@@ -31,38 +31,114 @@ from ..functions.hashing import hash64
 # ------------------------------------------------------------------ exact
 
 
+def content_hash_keys(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_fn=None,
+) -> ray.data.Dataset:
+    """Key-only projection for the exact-dedup exchange: (id, __h) — the text
+    NEVER enters the shuffle (asserted by test_exact_dedup_shuffles_keys_only)."""
+    hf = hash_fn or hash64
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = np.asarray(hf(t[text_column]), dtype=np.uint64)
+        return pa.table({id_column: t[id_column], "__h": pa.array(h.view(np.int64))})
+
+    return ds.map_batches(add_hash, batch_format="pyarrow")
+
+
 def exact_dedup_groups(
-    ds: ray.data.Dataset, text_column: str = "text", id_column: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    hash_fn=None,
 ) -> ray.data.Dataset:
     """Exact duplicate groups: one row per distinct content with (keep_id, n).
 
     keep_id = min(id) per content — matches the SQL oracle
     ``SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM t GROUP BY text``.
 
-    Scale: the shuffle key is a 64-bit content hash; the full text is carried
-    only to disambiguate hash collisions inside each (tiny) group.
+    Scale design (three phases, the ``parquet_key_uniqueness`` pattern,
+    stages/shuffle.py): the all-to-all exchange moves ONLY (id, 64-bit
+    content hash) — 16 bytes/row, never the corpus bytes. Hash groups with a
+    single member are final. Groups with n > 1 are *candidates* (duplicate
+    texts, or — rarely — hash collisions) and are resolved exactly in a
+    second, candidate-only pass that re-scans the source and groups the
+    candidate texts themselves, so correctness never relies on hash
+    uniqueness. The second exchange is bounded by the duplicate subset of
+    the corpus, not the corpus.
+
+    ``ds`` is scanned twice (phases 1 and 3) — pass a cheap re-scannable
+    source (a parquet read), not an expensive derived pipeline.
+    ``hash_fn`` is injectable so tests can force collisions.
+
+    Reference semantics: keeper-id dedup (adapters.py:330-337) promoted to
+    corpus level.
     """
+    from ray.data.aggregate import Count, Min
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = hash64(t[text_column])
-        return pa.table(
-            {
-                id_column: t[id_column],
-                text_column: t[text_column],
-                "__h": pa.array(h.view(np.int64)),
-            }
+    hf = hash_fn or hash64
+    agg = (
+        content_hash_keys(ds, text_column, id_column, hf)
+        .groupby("__h")
+        .aggregate(Min(id_column, alias_name="keep_id"), Count(alias_name="n"))
+    )
+
+    def split_singles(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["n"], 1)).select(["keep_id", "n"])
+
+    def split_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], 1)).select(["__h"])
+
+    singles = agg.map_batches(split_singles, batch_format="pyarrow")
+    # candidate hashes: one 8-byte value per duplicated content — small by
+    # construction relative to the corpus (it is the distinct-dup count)
+    dup_tables = [
+        b for b in agg.map_batches(split_dups, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
         )
+    ]
+    dup_hashes = (
+        np.sort(np.concatenate([t["__h"].to_numpy() for t in dup_tables]))
+        if dup_tables
+        else np.empty(0, np.int64)
+    )
+    if dup_hashes.size == 0:
+        return singles
+    dup_ref = ray.put(dup_hashes)
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    class CandidateFilter:
+        """Second pass: keep only rows whose content hash is duplicated."""
+
+        def __init__(self) -> None:
+            self.dups = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
+            pos = np.clip(np.searchsorted(self.dups, h), 0, self.dups.size - 1)
+            mask = self.dups[pos] == h
+            keep = t.filter(pa.array(mask))
+            return pa.table(
+                {
+                    id_column: keep[id_column],
+                    text_column: keep[text_column],
+                    "__h": pa.array(h[mask]),
+                }
+            )
+
+    cand = ds.map_batches(CandidateFilter, batch_format="pyarrow", concurrency=2)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: SQL GROUP BY keeps the NULL-content group
-        agg = g.groupby(text_column, sort=True, dropna=False)[id_column].agg(["min", "size"])
+        a = g.groupby(text_column, sort=True, dropna=False)[id_column].agg(["min", "size"])
         return pd.DataFrame(
-            {"keep_id": agg["min"].to_numpy(), "n": agg["size"].astype("int64").to_numpy()}
+            {"keep_id": a["min"].to_numpy(), "n": a["size"].astype("int64").to_numpy()}
         )
 
-    return hashed.groupby("__h").map_groups(per_group, batch_format="pandas")
+    resolved = cand.groupby("__h").map_groups(per_group, batch_format="pandas")
+    return singles.union(resolved)
 
 
 def exact_dedup(
@@ -253,9 +329,14 @@ class MinHasher:
         shingle_k: int = 3,
         seed: int = 7,
         lowercase: bool = True,
+        emit_sig: bool = True,
     ) -> None:
         assert num_perm % bands == 0
         self.lowercase = lowercase
+        # emit_sig=False keeps the 512-byte signature OUT of the band
+        # exchange: band rows shrink to (id, band, band_key) ≈ 20 bytes, and
+        # signatures are recomputed later for candidate ids only.
+        self.emit_sig = emit_sig
         self.text_column = text_column
         self.id_column = id_column
         self.num_perm = num_perm
@@ -363,14 +444,14 @@ class MinHasher:
         sigs, keep = self.batch_signatures(col)
         n = int(keep.sum())
         if n == 0:
-            return pa.table(
-                {
-                    self.id_column: pa.array([], ids.type),
-                    "band": pa.array([], pa.int32()),
-                    "band_key": pa.array([], pa.int64()),
-                    "sig": pa.array([], pa.binary()),
-                }
-            )
+            cols = {
+                self.id_column: pa.array([], ids.type),
+                "band": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+            }
+            if self.emit_sig:
+                cols["sig"] = pa.array([], pa.binary())
+            return pa.table(cols)
         sigs = sigs[keep]
         ids = ids.filter(pa.array(keep))
         # band keys: multiply-xor mix along the rows_per_band axis, vectorized
@@ -378,17 +459,26 @@ class MinHasher:
         with np.errstate(over="ignore"):
             mixed = band_view * self.band_mix
         keys = np.bitwise_xor.reduce(mixed, axis=2).view(np.int64) & 0x7FFFFFFFFFFFFFFF
-        sig_bytes = [s.tobytes() for s in sigs]
         id_np = ids.to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                self.id_column: pa.array(np.repeat(id_np, self.bands)),
-                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-                "band_key": pa.array(keys.reshape(-1)),
-                "sig": pa.array([sig_bytes[i] for i in range(n) for _ in range(self.bands)],
-                                pa.binary()),
-            }
-        )
+        cols = {
+            self.id_column: pa.array(np.repeat(id_np, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_key": pa.array(keys.reshape(-1)),
+        }
+        if self.emit_sig:
+            sig_bytes = [s.tobytes() for s in sigs]
+            cols["sig"] = pa.array(
+                [sig_bytes[i] for i in range(n) for _ in range(self.bands)],
+                pa.binary(),
+            )
+        return pa.table(cols)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "est_jaccard": pd.Series(dtype="float64")}
+    )
 
 
 def minhash_lsh_candidates(
@@ -400,65 +490,221 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    max_group_size: int = 4096,
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
-    Pipeline: actor-pool signatures → explode to band rows → groupby
-    (band, band_key) → in-group pairs scored by signature agreement →
-    groupby pair → max estimate (dedup across bands).
+    Scale-first pipeline (no signature bytes in any exchange):
+
+    1. band rows (id, band, band_key) ≈ 20 B each — signatures stay in the
+       actors; the old variant shipped the 512-byte signature with every one
+       of the 16 band rows (8 KB/doc, more than the document itself).
+    2. ``groupby(band, band_key)`` → unscored candidate pairs per bucket,
+       vectorized (``triu_indices``, no Python pair loop). A bucket larger
+       than ``max_group_size`` (one boilerplate template = one giant bucket
+       on a web corpus) emits min-id STAR edges instead of all pairs:
+       connectivity for clustering is preserved, the O(m²) blowup is not.
+    3. distributed ``groupby(id_a, id_b)`` dedups pairs across bands (the
+       old driver-side drop_duplicates is gone).
+    4. signatures are recomputed for the involved ids only (a filtered
+       re-scan of the source — the candidate-only phase-3 idiom of
+       ``parquet_key_uniqueness``) and pairs are scored in one vectorized
+       comparison; est_jaccard = fraction of agreeing signature positions,
+       identical to the previous per-group estimate.
+
+    ``ds`` is scanned twice; pass a re-scannable source.
     """
-    if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_column=text_column, id_column=id_column, num_perm=num_perm,
-            bands=bands, shingle_k=shingle_k,
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    mh_kwargs = dict(
+        text_column=text_column, id_column=id_column, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k,
     )
-
-    def _empty_pairs() -> pd.DataFrame:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "est_jaccard": pd.Series(dtype="float64")}
-        )
-
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) >= 2:
-            g = g.drop_duplicates(subset=[id_column])
-        if len(g) < 2:
-            return _empty_pairs()
-        ids = g[id_column].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off, j_est in enumerate(agree):
-                if j_est >= jaccard_threshold:
-                    a, b = ids[i], ids[i + 1 + off]
-                    if b < a:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(float(j_est))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
-
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
-        pairs_in_group, batch_format="pandas"
+    # Materialize the input blocks ONCE; both the banding map and the
+    # candidate-scoring pass run as raw tasks over the same refs. The Ray
+    # Data sort-groupby paid ~5-8 s per exchange on 800k band rows at sf0.1;
+    # the explicit hash shuffle (the parquet_key_uniqueness pattern,
+    # stages/shuffle.py:56 — documented raw-Ray fallback) runs the whole
+    # candidate stage in ~1 s on the same input.
+    block_refs = ds.to_arrow_refs()
+    num_buckets = 1 << max(
+        2, int(np.ceil(np.log2(max(4, int(ray.cluster_resources().get("CPU", 4))))))
     )
-    # candidate pairs are tiny by construction (near-dups only) — dedup across
-    # bands on the driver instead of paying a second distributed groupby
-    pdf = pairs.to_pandas()
-    if len(pdf):
-        pdf = (
-            pdf.sort_values("est_jaccard", ascending=False)
-            .drop_duplicates(subset=["id_a", "id_b"], keep="first")
-            .reset_index(drop=True)
-        )
-    return ray.data.from_pandas(pdf)
+    shift = np.uint64(64 - int(np.log2(num_buckets)))
+
+    @ray.remote
+    def map_block(t: pa.Table) -> list[np.ndarray]:
+        mh = MinHasher(emit_sig=False, **mh_kwargs)
+        sigs, keep = mh.batch_signatures(t[text_column])
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        sigs = sigs[keep]
+        n = sigs.shape[0]
+        if n == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        band_view = sigs.reshape(n, mh.bands, mh.rows_per_band)
+        with np.errstate(over="ignore"):
+            keys = np.bitwise_xor.reduce(band_view * mh.band_mix, axis=2)
+            # fold the band index into the key so (band, band_key) becomes one
+            # uniform 64-bit shuffle key
+            keys = _mix64(keys + np.arange(mh.bands, dtype=np.uint64)[None, :]
+                          * np.uint64(0x9E3779B97F4A7C15))
+        flat_k = keys.reshape(-1)
+        flat_id = np.repeat(ids, mh.bands)
+        bucket = (flat_k >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        flat_k, flat_id, bucket = flat_k[order], flat_id[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(num_buckets + 1))
+        return [
+            np.column_stack([flat_k[bounds[b] : bounds[b + 1]].view(np.int64),
+                             flat_id[bounds[b] : bounds[b + 1]]])
+            for b in range(num_buckets)
+        ]
+
+    @ray.remote
+    def reduce_bucket(*parts: np.ndarray) -> np.ndarray:
+        rows = np.concatenate([p for p in parts if len(p)]) if parts else None
+        if rows is None or len(rows) == 0:
+            return np.empty((0, 2), np.int64)
+        k, ids = rows[:, 0], rows[:, 1]
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.concatenate([starts[1:], [k.size]])
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gids = ids[s:e]
+            gids = gids[np.concatenate([[True], gids[1:] != gids[:-1]])]
+            m = gids.size
+            if m < 2:
+                continue
+            if m > max_group_size:
+                # star edges: min-id anchor preserves cluster connectivity
+                # without the O(m^2) blowup of a boilerplate mega-bucket
+                pairs = np.column_stack([np.full(m - 1, gids[0]), gids[1:]])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                pairs = np.column_stack([gids[iu], gids[ju]])
+            out.append(pairs)
+        if not out:
+            return np.empty((0, 2), np.int64)
+        allp = np.concatenate(out)
+        return np.unique(allp, axis=0)  # in-bucket dedup before the gather
+
+    map_refs = [map_block.options(num_returns=num_buckets).remote(b)
+                for b in block_refs]
+    if num_buckets == 1:
+        map_refs = [[r] for r in map_refs]
+    pair_parts = ray.get(
+        [reduce_bucket.remote(*[m[b] for m in map_refs])
+         for b in range(num_buckets)]
+    )
+    allp = np.concatenate([p for p in pair_parts if len(p)]) if pair_parts else None
+    if allp is None or len(allp) == 0:
+        return ray.data.from_pandas(_empty_pairs())
+    # cross-band duplicates only (≤ bands× per pair); the pair list is the
+    # op's output, so this gather is bounded by output size
+    allp = np.unique(allp, axis=0)
+
+    sig_map = _signatures_for_ids(
+        block_refs, np.unique(allp.reshape(-1)), mh_kwargs
+    )
+    pdf = pd.DataFrame({"id_a": allp[:, 0], "id_b": allp[:, 1]})
+    sa = np.stack([sig_map[i] for i in pdf["id_a"]])
+    sb = np.stack([sig_map[i] for i in pdf["id_b"]])
+    pdf["est_jaccard"] = (sa == sb).mean(axis=1)
+    pdf = pdf[pdf["est_jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    return ray.data.from_pandas(pdf if len(pdf) else _empty_pairs())
+
+
+def _signatures_for_ids(
+    block_refs: list,
+    wanted_ids: np.ndarray,
+    mh_kwargs: dict,
+) -> dict[int, np.ndarray]:
+    """Recompute MinHash signatures for a (small) id set: broadcast the
+    sorted id array, filter each materialized block, ship back one signature
+    per hit — the candidate-only phase-3 re-scan idiom."""
+    id_column = mh_kwargs["id_column"]
+    text_column = mh_kwargs["text_column"]
+    ids_ref = ray.put(np.sort(np.asarray(wanted_ids, dtype=np.int64)))
+
+    @ray.remote
+    def fetch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        wanted = ray.get(ids_ref)
+        idv = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(wanted, idv), 0, wanted.size - 1)
+        mask = wanted[pos] == idv
+        if not mask.any():
+            return np.empty(0, np.int64), np.empty((0, mh_kwargs.get("num_perm", 64)), np.uint64)
+        keep = t.filter(pa.array(mask))
+        mh = MinHasher(**mh_kwargs)
+        sigs, _ = mh.batch_signatures(keep[text_column])
+        return idv[mask], sigs
+
+    parts = ray.get([fetch.remote(b) for b in block_refs])
+    out: dict[int, np.ndarray] = {}
+    for ids, sigs in parts:
+        for i, s in zip(ids, sigs):
+            out[int(i)] = s
+    return out
+
+
+def minhash_dedup_clusters(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_group_size: int = 4096,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Near-dup clusters with keeper assignment: (doc_id, keeper_id, cluster_size).
+
+    The reference's dedup semantics is "keep one representative"
+    (adapters.py:330-337); a training-data pipeline needs doc→keeper, not a
+    pair list. Union-find over the verified candidate edges; keeper = min id
+    per connected component; one row per clustered doc (keeper included,
+    identifiable by doc_id == keeper_id). Docs in no cluster are absent —
+    they keep themselves.
+
+    The edge list is the verified near-dup pair set (star edges for
+    oversized buckets keep giant boilerplate clusters connected without the
+    O(m²) pair blowup), so the driver-side union-find is linear in the
+    number of *duplicated* docs, not the corpus.
+    """
+    pairs = minhash_lsh_candidates(
+        ds, text_column, id_column, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
+        max_group_size=max_group_size, concurrency=concurrency,
+    ).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    rows = []
+    for root, ms in members.items():
+        keeper = min(ms)
+        for m in sorted(ms):
+            rows.append((m, keeper, len(ms)))
+    out = pd.DataFrame(rows, columns=[id_column, "keeper_id", "cluster_size"])
+    return out.sort_values(id_column).reset_index(drop=True).astype(
+        {id_column: "int64", "keeper_id": "int64", "cluster_size": "int64"}
+    )
 
 
 # ----------------------------------------------------------------- SimHash
@@ -550,71 +796,157 @@ class SimHasher:
         return pa.table(cols)
 
 
+# Manku-style banding (Detecting Near-Duplicates for Web Crawling, WWW'07):
+# split the 64-bit simhash into 6 blocks; a pair within Hamming ≤ 3 has ≤ 3
+# dirty blocks, so at least 3 clean ones — one of the C(6,3)=20 block triples
+# matches exactly. Triple keys carry ~32 bits → bucket count grows with the
+# corpus instead of the old 4×16-bit ceiling of 65,536 groups.
+_SIMHASH_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_BLOCK_SHIFTS = np.cumsum((0,) + _SIMHASH_BLOCK_BITS[:-1]).astype(np.uint64)
+_SIMHASH_TRIPLES = [
+    (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]
+
+
+def _simhash_band_keys(hs: np.ndarray) -> np.ndarray:
+    """(n,) uint64 simhashes → (n, 20) uint64 banded keys (triple id folded in)."""
+    blocks = np.empty((hs.size, 6), dtype=np.uint64)
+    for b in range(6):
+        mask = np.uint64((1 << _SIMHASH_BLOCK_BITS[b]) - 1)
+        blocks[:, b] = (hs >> _SIMHASH_BLOCK_SHIFTS[b]) & mask
+    keys = np.empty((hs.size, len(_SIMHASH_TRIPLES)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for t, (i, j, k) in enumerate(_SIMHASH_TRIPLES):
+            combined = (
+                blocks[:, i]
+                | (blocks[:, j] << np.uint64(11))
+                | (blocks[:, k] << np.uint64(22))
+                | (np.uint64(t) << np.uint64(33))
+            )
+            keys[:, t] = _mix64(combined)
+    return keys
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
 def simhash_near_dups(
     ds: ray.data.Dataset,
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
-    concurrency: int | None = None,
+    concurrency: int | None = None,  # noqa: ARG001 — raw tasks self-schedule
+    max_group_size: int = 4096,
 ) -> ray.data.Dataset:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs (id_a, id_b, hamming ≤ max_hamming) via banded SimHash.
 
-    Pigeonhole: with 4 chunks of 16 bits, any pair within Hamming ≤ 3 agrees
-    on at least one whole chunk → 4 small groupbys on chunk value find all
-    candidates; exact Hamming verifies. Requires max_hamming ≤ 3.
+    Explicit hash shuffle (the parquet_key_uniqueness pattern): map tasks
+    compute simhashes and emit (band_key, id, simhash) triples bucketed by
+    key hash; reducers verify exact Hamming within each key group with one
+    vectorized xor+popcount per group (no Python pair loops). Groups larger
+    than ``max_group_size`` verify against the min-id anchor only (star) —
+    connectivity preserved, m² avoided. Requires max_hamming ≤ 3 (6-block /
+    choose-3 pigeonhole).
     """
-    assert max_hamming <= 3, "4-chunk pigeonhole covers Hamming ≤ 3"
-    if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    assert max_hamming <= 3, "6-block choose-3 banding covers Hamming ≤ 3"
+    block_refs = ds.to_arrow_refs()
+    num_buckets = 1 << max(
+        2, int(np.ceil(np.log2(max(4, int(ray.cluster_resources().get("CPU", 4))))))
     )
+    shift = np.uint64(64 - int(np.log2(num_buckets)))
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h = [], [], []
-        if len(g) > 1:
-            g = g.drop_duplicates(subset=[id_column])
-            ids = g[id_column].to_numpy()
-            hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            for i in range(len(ids)):
-                x = hs[i + 1 :] ^ hs[i]
-                # popcount via uint8 view
-                ham = (
-                    np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-                    if x.size
-                    else np.array([], dtype=np.int64)
-                )
-                for off, d in enumerate(ham):
-                    if d <= max_hamming:
-                        a, b = ids[i], ids[i + 1 + off]
-                        if b < a:
-                            a, b = b, a
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_h.append(int(d))
-        return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_h, dtype="int64")}
+    @ray.remote
+    def map_block(t: pa.Table) -> list[np.ndarray]:
+        hs = simhash_column(t[text_column])
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        nonzero = hs != 0  # null/empty docs carry no signal
+        hs, ids = hs[nonzero], ids[nonzero]
+        if hs.size == 0:
+            return [np.empty((0, 3), np.int64)] * num_buckets
+        keys = _simhash_band_keys(hs)  # (n, 20)
+        flat_k = keys.reshape(-1)
+        flat_id = np.repeat(ids, keys.shape[1])
+        flat_h = np.repeat(hs.view(np.int64), keys.shape[1])
+        bucket = (flat_k >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        flat_k, flat_id, flat_h, bucket = (
+            flat_k[order], flat_id[order], flat_h[order], bucket[order]
         )
+        bounds = np.searchsorted(bucket, np.arange(num_buckets + 1))
+        return [
+            np.column_stack([
+                flat_k[bounds[b] : bounds[b + 1]].view(np.int64),
+                flat_id[bounds[b] : bounds[b + 1]],
+                flat_h[bounds[b] : bounds[b + 1]],
+            ])
+            for b in range(num_buckets)
+        ]
 
-    chunk_pairs = [
-        sigs.select_columns([id_column, "simhash", f"chunk{c}"])
-        .groupby(f"chunk{c}")
-        .map_groups(pairs_in_group, batch_format="pandas")
-        for c in range(4)
-    ]
-    all_pairs = chunk_pairs[0]
-    for p in chunk_pairs[1:]:
-        all_pairs = all_pairs.union(p)
+    @ray.remote
+    def reduce_bucket(*parts: np.ndarray) -> np.ndarray:
+        rows = np.concatenate([p for p in parts if len(p)]) if parts else None
+        if rows is None or len(rows) == 0:
+            return np.empty((0, 3), np.int64)
+        k, ids, hs = rows[:, 0], rows[:, 1], rows[:, 2].view(np.uint64)
+        order = np.lexsort((ids, k))
+        k, ids, hs = k[order], ids[order], hs[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.concatenate([starts[1:], [k.size]])
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gids, gh = ids[s:e], hs[s:e]
+            uniq = np.concatenate([[True], gids[1:] != gids[:-1]])
+            gids, gh = gids[uniq], gh[uniq]
+            m = gids.size
+            if m < 2:
+                continue
+            if m > max_group_size:
+                x = gh[1:] ^ gh[0]
+                ham = _popcount64(x)
+                keep = ham <= max_hamming
+                pairs = np.column_stack([
+                    np.full(int(keep.sum()), gids[0]), gids[1:][keep],
+                    ham[keep].astype(np.int64),
+                ])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                x = gh[iu] ^ gh[ju]
+                ham = _popcount64(x)
+                keep = ham <= max_hamming
+                pairs = np.column_stack([
+                    gids[iu][keep], gids[ju][keep], ham[keep].astype(np.int64)
+                ])
+            if len(pairs):
+                out.append(pairs)
+        if not out:
+            return np.empty((0, 3), np.int64)
+        allp = np.concatenate(out)
+        return np.unique(allp, axis=0)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return all_pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    map_refs = [map_block.options(num_returns=num_buckets).remote(b)
+                for b in block_refs]
+    if num_buckets == 1:
+        map_refs = [[r] for r in map_refs]
+    pair_parts = ray.get(
+        [reduce_bucket.remote(*[m[b] for m in map_refs])
+         for b in range(num_buckets)]
+    )
+    allp = np.concatenate([p for p in pair_parts if len(p)]) if pair_parts else None
+    if allp is None or len(allp) == 0:
+        pdf = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "hamming": pd.Series(dtype="int64")})
+        return ray.data.from_pandas(pdf)
+    allp = np.unique(allp, axis=0)
+    # same (a, b) can appear via several bands with equal hamming — keep once
+    first = np.concatenate([[True], np.any(allp[1:, :2] != allp[:-1, :2], axis=1)])
+    allp = allp[first]
+    return ray.data.from_pandas(
+        pd.DataFrame({"id_a": allp[:, 0], "id_b": allp[:, 1], "hamming": allp[:, 2]})
+    )
 
 
 # ------------------------------------------------------------ n-gram Jaccard

@@ -212,3 +212,103 @@ def test_token_hashes_handle_sliced_arrays():
     for start, length in [(1, 3), (0, 3)]:
         sig_sl, _ = mh.batch_signatures(full.slice(start, length))
         assert (sig_sl == sig_full[start : start + length]).all()
+
+
+def test_exact_dedup_shuffles_keys_only(sf001_dir):
+    """The exact-dedup exchange must move (id, hash) only — never text."""
+    import ray.data
+
+    from biosample_enricher_ray.stages.dedup import content_hash_keys
+
+    ds = ray.data.read_parquet(f"{sf001_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    keys = content_hash_keys(ds)
+    assert keys.schema().names == ["doc_id", "__h"]
+
+
+def test_exact_dedup_survives_hash_collisions(ray_session):
+    """With a pathological constant hash (every text collides), the candidate
+    pass must still produce the exact per-text groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from biosample_enricher_ray.stages.dedup import exact_dedup_groups
+
+    texts = ["aa", "bb", "aa", "cc", "bb", "aa", None, None, "dd"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+
+    def constant_hash(col):
+        return np.zeros(len(col), dtype=np.uint64)
+
+    out = exact_dedup_groups(ds, hash_fn=constant_hash).to_pandas()
+    out = out.sort_values("keep_id").reset_index(drop=True)
+    want = pd.DataFrame({"keep_id": [0, 1, 3, 6, 8], "n": [3, 2, 1, 2, 1]})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_minhash_dedup_clusters_planted():
+    """Planted ground truth: {0,1,2} near-dup cluster with keeper 0; docs 3,4
+    unclustered (absent). Keeper rows carry doc_id == keeper_id."""
+    from biosample_enricher_ray.stages.dedup import minhash_dedup_clusters
+
+    out = minhash_dedup_clusters(_near_dup_docs(), jaccard_threshold=0.5,
+                                 concurrency=2)
+    assert out.columns.tolist() == ["doc_id", "keeper_id", "cluster_size"]
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["keeper_id"].tolist() == [0, 0, 0]
+    assert out["cluster_size"].tolist() == [3, 3, 3]
+
+
+def test_minhash_star_edges_cap_keeps_connectivity():
+    """A bucket over max_group_size emits star edges: clusters stay connected
+    through the min-id anchor even without the O(m^2) pair list."""
+    from biosample_enricher_ray.stages.dedup import minhash_dedup_clusters
+
+    rows = [{"doc_id": i, "text": BASE} for i in range(12)]  # one giant bucket
+    rows.append({"doc_id": 99, "text": "totally different text about nothing"})
+    ds = ray.data.from_items(rows)
+    out = minhash_dedup_clusters(ds, jaccard_threshold=0.5, max_group_size=4,
+                                 concurrency=2)
+    assert out["doc_id"].tolist() == list(range(12))
+    assert (out["keeper_id"] == 0).all()
+    assert (out["cluster_size"] == 12).all()
+
+
+def test_rolling_fingerprint_matches_reference_rows():
+    """The vectorized flat-buffer kernel must reproduce the original per-row
+    definition exactly (min of rolling polynomial hashes, FNV fold for short
+    docs), including unicode, short, empty and null rows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def reference_one(t, window=8):
+        if not t:
+            return 0
+        B = np.uint64(1099511628211)
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if b.size < window:
+            acc = np.uint64(14695981039346656037)
+            for x in b:
+                acc = np.uint64((int(acc) * int(B) ^ int(x)) & 0xFFFFFFFFFFFFFFFF)
+            return int(acc.view(np.int64))
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for k in range(1, window):
+            powers[k] = np.uint64((int(powers[k - 1]) * int(B)) & 0xFFFFFFFFFFFFFFFF)
+        wins = sliding_window_view(b, window)
+        with np.errstate(over="ignore"):
+            hashes = (wins * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        return int(hashes.min().view(np.int64))
+
+    texts = ["hello world document", "short", "", None, "héllo wörld ünïcode text",
+             "a", "exactly8", "exactly8b", BASE, "  spaces  padded  "]
+    got = rolling_fingerprint(pa.array(texts, pa.string())).to_pylist()
+    want = [0 if t is None else reference_one(t) for t in texts]
+    assert got == want
+    # sliced input agrees too
+    arr = pa.array(texts, pa.string())
+    got_sl = rolling_fingerprint(arr.slice(2, 5)).to_pylist()
+    assert got_sl == want[2:7]
