@@ -241,6 +241,76 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
             "all_runs_sec": [round(w, 1) for w in walls]}
 
 
+def run_salt_bench(corpus_dir: str) -> dict:
+    """Measured salted-vs-unsalted grouped count on the planted zipf-hot
+    domains (north_rule skew handling; numbers recorded in BASELINE.md).
+
+    Three pipelines computing identical per-domain counts:
+      naive        ds.groupby(domain).count()        (raw rows shuffled)
+      precombined  in-batch value_counts → groupby-sum (combiner, no salt)
+      salted       salted_group_count(salt=8)          (combiner + salt)
+    """
+    import time
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from biosample_enricher_ray.functions.hashing import extract_domain
+    from biosample_enricher_ray.stages.shuffle import salted_group_count
+
+    paths = sorted(
+        os.path.join(corpus_dir, p)
+        for p in os.listdir(corpus_dir)
+        if p.startswith("pages-") and p.endswith(".parquet")
+    )
+
+    def with_domain():
+        ds = ray.data.read_parquet(paths, columns=["url"])
+
+        def dom(t: pa.Table) -> pa.Table:
+            # drop_null: Ray's sort-based groupby partitioning raises on
+            # null keys ('<' unsupported None/str) — observed, not theoretical
+            return pa.table({"domain": extract_domain(t["url"]).drop_null()})
+
+        return ds.map_batches(dom, batch_format="pyarrow")
+
+    with_domain().count()  # warm
+
+    def timeit(fn, n=2):
+        best = 1e9
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    t_naive = timeit(lambda: with_domain().groupby("domain").count().to_pandas())
+    t_salted = timeit(
+        lambda: salted_group_count(with_domain(), "domain", salt=8).to_pandas()
+    )
+
+    def precombined():
+        def vc(t: pa.Table) -> pa.Table:
+            c = t["domain"].combine_chunks().value_counts()
+            return pa.table({"domain": c.field("values"), "n": c.field("counts")})
+
+        return (
+            with_domain().map_batches(vc, batch_format="pyarrow")
+            .groupby("domain").aggregate(Sum("n", alias_name="n")).to_pandas()
+        )
+
+    t_pre = timeit(precombined)
+    return {
+        "naive_groupby_sec": round(t_naive, 2),
+        "precombined_unsalted_sec": round(t_pre, 2),
+        "salted_sec": round(t_salted, 2),
+        "ratio_naive_over_salted": round(t_naive / t_salted, 2),
+        "ratio_precombined_over_salted": round(t_pre / t_salted, 2),
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from biosample_enricher_ray.pipelines.queries import QUERIES
 
@@ -268,7 +338,23 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true")
+    parser.add_argument("--salt-bench", action="store_true")
     args = parser.parse_args()
+
+    if args.salt_bench:
+        import ray
+
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        try:
+            print(json.dumps(run_salt_bench(ensure_corpus(BENCH_ROWS))))
+        finally:
+            ray.shutdown()
+        return
 
     if args.scaling:
         results = {}

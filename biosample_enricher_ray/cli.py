@@ -49,12 +49,17 @@ def cmd_validate(args: argparse.Namespace) -> int:
     if not paths:
         print(f"no parquet fragments match {args.input}", file=sys.stderr)
         return 2
-    lang_ref = dom_ref = None
-    if args.lang_dim:
-        lang_ref = ray.put(pq.read_table(args.lang_dim)["lang"].combine_chunks())
-    if args.domain_dim:
-        dom_ref = ray.put(pq.read_table(args.domain_dim)["domain"].combine_chunks())
-    checks = default_pages_checks(lang_dim_ref=lang_ref, domain_dim_ref=dom_ref)
+    if args.suite:
+        from .stages.suite import compile_suite
+
+        checks = compile_suite(args.suite)
+    else:
+        lang_ref = dom_ref = None
+        if args.lang_dim:
+            lang_ref = ray.put(pq.read_table(args.lang_dim)["lang"].combine_chunks())
+        if args.domain_dim:
+            dom_ref = ray.put(pq.read_table(args.domain_dim)["domain"].combine_chunks())
+        checks = default_pages_checks(lang_dim_ref=lang_ref, domain_dim_ref=dom_ref)
     result = run_validation(
         paths,
         args.out,
@@ -147,6 +152,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--out", required=True, help="checkpoint/output dir")
     v.add_argument("--lang-dim", default=None)
     v.add_argument("--domain-dim", default=None)
+    v.add_argument("--suite", default=None,
+                   help="YAML suite spec (overrides the default check suite)")
     v.add_argument("--files-per-partition", type=int, default=4)
     v.add_argument("--max-concurrent-partitions", type=int, default=2)
     v.add_argument("--no-resume", action="store_true")

@@ -193,6 +193,18 @@ def referential_events_customers(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def referential_shuffle_events_customers(sf_dir: str) -> pd.DataFrame:
+    """Same referential check as referential_events_customers but through the
+    SHUFFLE semi-join path (SURVEY §2.5 J1 'shuffle hash join if large'):
+    both sides hash-partitioned on the key, per-bucket complement counts —
+    the path a 100M-row dimension takes when it cannot broadcast."""
+    from ..stages.shuffle import shuffle_semi_join_complement
+
+    fact = _read(sf_dir, "events", columns=["user_id"])
+    dim = _read(sf_dir, "customer", columns=["c_custkey"])
+    return shuffle_semi_join_complement(fact, "user_id", dim, "c_custkey")
+
+
 def distinct_counts_documents(sf_dir: str) -> pd.DataFrame:
     """Exact distinct counts (profile A3 with exact semantics for the oracle;
     the HLL variant is hll_distinct_documents)."""
@@ -822,6 +834,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "uniqueness_doc_id": uniqueness_doc_id,
     "exact_dedup_documents": exact_dedup_documents,
     "referential_events_customers": referential_events_customers,
+    "referential_shuffle_events_customers": referential_shuffle_events_customers,
     "distinct_counts_documents": distinct_counts_documents,
     "stats_profile_documents": stats_profile_documents,
     "hist_n_chars_documents": hist_n_chars_documents,
@@ -890,6 +903,11 @@ ORACLE_SQL: dict[str, str] = {
         "ORDER BY keep_id"
     ),
     "referential_events_customers": (
+        "SELECT CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN "
+        "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans, "
+        "COUNT(*) AS n_rows FROM events"
+    ),
+    "referential_shuffle_events_customers": (
         "SELECT CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id NOT IN "
         "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans, "
         "COUNT(*) AS n_rows FROM events"

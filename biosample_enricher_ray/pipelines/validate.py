@@ -256,28 +256,77 @@ def records_dataset(
     return rec
 
 
-def summarize_records(records: ray.data.Dataset | pa.Table) -> ValidationResult:
+def summarize_records(
+    records: ray.data.Dataset | pa.Table,
+    *,
+    max_violations_per_check: int | None = None,
+    violations_path: str | None = None,
+) -> ValidationResult:
     """Aggregate a record stream into violations / matrix / profiles.
 
-    The stream is consumed once via ``iter_batches`` (no full-corpus
-    materialization — records are already the reduced form).
+    The stream is consumed once via ``iter_batches``. Violation rows are the
+    only O(corpus) hazard here (a systemically-failing check makes them
+    proportional to the input): ``max_violations_per_check`` caps what the
+    driver RETAINS per check (counts in the matrix stay exact — they come
+    from the batch_stats records), and ``violations_path`` streams every
+    violation row to a parquet sink batch-by-batch so nothing is lost when
+    the in-memory sample is capped. Defaults preserve the collect-all
+    behavior for small runs.
     """
     tables: list[pa.Table] = []
     if isinstance(records, pa.Table):
-        tables = [records]
+        batches = [records]
     else:
-        for b in records.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            tables.append(b)
-    if not tables:
+        batches = records.iter_batches(batch_size=65536, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+
+    viol_parts: list[pa.Table] = []
+    stats_parts: list[pa.Table] = []
+    sketch_parts: list[pa.Table] = []
+    kept: dict[str, int] = {}
+    writer: pq.ParquetWriter | None = None
+    n_batches = 0
+    try:
+        for b in batches:
+            n_batches += 1
+            kind_col = b["record_type"]
+            viol = b.filter(pc.equal(kind_col, "violation"))
+            if len(viol):
+                v = viol.select(VIOLATIONS_SCHEMA.names)
+                if violations_path is not None:
+                    if writer is None:
+                        writer = pq.ParquetWriter(violations_path, v.schema)
+                    writer.write_table(v)
+                if max_violations_per_check is None:
+                    viol_parts.append(v)
+                else:
+                    for cid in pc.unique(v["check_id"]).to_pylist():
+                        room = max_violations_per_check - kept.get(cid, 0)
+                        if room <= 0:
+                            continue
+                        rows = v.filter(pc.equal(v["check_id"], cid)).slice(0, room)
+                        kept[cid] = kept.get(cid, 0) + len(rows)
+                        viol_parts.append(rows)
+            stats_parts.append(b.filter(pc.equal(kind_col, "batch_stats")))
+            sketch_parts.append(b.filter(pc.equal(kind_col, "sketch")))
+    finally:
+        if writer is not None:
+            writer.close()
+
+    if n_batches == 0:
         rec = pa.table({f.name: pa.array([], f.type) for f in VIOLATIONS_SCHEMA})
         return ValidationResult(violations=rec,
                                 matrix=pd.DataFrame(columns=PASSFAIL_SCHEMA.names))
-    rec = pa.concat_tables(tables, promote_options="default")
 
-    kind = rec["record_type"]
-    violations = rec.filter(pc.equal(kind, "violation")).select(VIOLATIONS_SCHEMA.names)
+    violations = (
+        pa.concat_tables(viol_parts, promote_options="default")
+        if viol_parts
+        else pa.table({f.name: pa.array([], f.type) for f in VIOLATIONS_SCHEMA})
+    )
+    stats = pa.concat_tables(stats_parts, promote_options="default")
+    rec = pa.concat_tables(sketch_parts, promote_options="default")
 
-    stats = rec.filter(pc.equal(kind, "batch_stats"))
     sdf = stats.select(["partition_id", "check_id", "n_rows", "n_violations"]).to_pandas()
     if len(sdf):
         matrix = (
@@ -296,7 +345,7 @@ def summarize_records(records: ray.data.Dataset | pa.Table) -> ValidationResult:
         matrix = pd.DataFrame(columns=PASSFAIL_SCHEMA.names)
         n_rows = 0
 
-    sketches = rec.filter(pc.equal(kind, "sketch"))
+    sketches = rec
     profiles: dict[str, dict[str, Any]] = {}
     if len(sketches):
         cols = sketches["column"].to_pylist()
@@ -321,6 +370,8 @@ def validate_dataset(
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] | None = None,
     path_column: str | None = PATH_COLUMN,
+    max_violations_per_check: int | None = None,
+    violations_path: str | None = None,
 ) -> ValidationResult:
     """One-shot validation of a Dataset: row checks + profile + uniqueness.
 
@@ -340,7 +391,9 @@ def validate_dataset(
     checks = checks if checks is not None else default_pages_checks()
     result = summarize_records(
         records_dataset(ds, checks, profile, batch_size=batch_size,
-                        concurrency=concurrency, path_column=path_column)
+                        concurrency=concurrency, path_column=path_column),
+        max_violations_per_check=max_violations_per_check,
+        violations_path=violations_path,
     )
     if uniqueness_column:
         if uniqueness_paths is not None:

@@ -150,6 +150,87 @@ def parquet_key_uniqueness(
     return pd.DataFrame({column: counts.index.to_numpy(), "n": counts.to_numpy()})
 
 
+def shuffle_semi_join_complement(
+    fact_ds: ray.data.Dataset,
+    fact_key: str,
+    dim_ds: ray.data.Dataset,
+    dim_key: str,
+    *,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Referential check via SHUFFLE semi-join — the large-dimension path.
+
+    The broadcast path (stages/checks.py ReferentialCheck) assumes the
+    dimension fits in every actor; a web-scale domain dimension (100M+
+    registered domains, SURVEY.md §2.5 J1 / adapters.py:610-640) does not.
+    Here BOTH sides are hash-partitioned on the join key (key column only —
+    8–16 bytes/row leaves the workers, never the fact rows) and each bucket
+    counts fact keys absent from the dimension. Exact: the actual key values
+    are shipped, bucketed by a process-stable hash, so no collision can
+    produce a wrong verdict.
+
+    Returns DataFrame(n_orphans, n_rows): orphan fact ROWS (multiplicity
+    counted, null keys pass — NotNullCheck's job) and total fact rows.
+    """
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    bits = max(1, int(np.ceil(np.log2(num_buckets))))
+    num_buckets = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    @ray.remote
+    def map_side(t: pa.Table, col: str) -> list[pa.Array]:
+        keys = t[col].combine_chunks().drop_null()
+        h = hash64(keys)
+        bucket = (h >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        keys = keys.take(pa.array(order))
+        bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
+        return [keys.slice(bounds[b], bounds[b + 1] - bounds[b])
+                for b in range(num_buckets)]
+
+    @ray.remote
+    def reduce_bucket(n_fact_parts: int, *parts: pa.Array) -> int:
+        fact_parts = [p for p in parts[:n_fact_parts] if len(p)]
+        dim_parts = [p for p in parts[n_fact_parts:] if len(p)]
+        if not fact_parts:
+            return 0
+        fact = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in fact_parts]
+        )
+        if not dim_parts:
+            return len(fact)
+        dim = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in dim_parts]
+        )
+        present = pc.is_in(fact, value_set=dim)
+        return int(pc.sum(pc.cast(pc.invert(present), pa.int64())).as_py() or 0)
+
+    fact_refs = fact_ds.to_arrow_refs()
+    dim_refs = dim_ds.to_arrow_refs()
+    n_rows = fact_ds.count()
+    fact_maps = [map_side.options(num_returns=num_buckets).remote(b, fact_key)
+                 for b in fact_refs]
+    dim_maps = [map_side.options(num_returns=num_buckets).remote(b, dim_key)
+                for b in dim_refs]
+    if num_buckets == 1:
+        fact_maps = [[r] for r in fact_maps]
+        dim_maps = [[r] for r in dim_maps]
+    counts = ray.get([
+        reduce_bucket.remote(
+            len(fact_maps),
+            *[m[b] for m in fact_maps],
+            *[m[b] for m in dim_maps],
+        )
+        for b in range(num_buckets)
+    ])
+    return pd.DataFrame({"n_orphans": [int(sum(counts))], "n_rows": [int(n_rows)]})
+
+
 def detect_skewed_keys(
     ds: ray.data.Dataset, key_column: str, *, top: int = 20, sample_frac: float = 0.05
 ) -> pd.DataFrame:

@@ -171,3 +171,33 @@ def test_byte_identical_text_invariant():
     s2 = sha256_column(t2["text"]).to_pylist()
     assert s1 == s2
     np.testing.assert_array_equal(t1["url"].to_pylist(), t2["url"].to_pylist())
+
+
+def test_violation_cap_and_sink(tmp_path, corpus_dir):
+    """A 100%-failing check must not materialize O(corpus) violations on the
+    driver: the in-memory sample is capped per check, counts stay exact, and
+    the parquet sink receives every row."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from biosample_enricher_ray.stages.checks import RegexCheck
+    from biosample_enricher_ray.pipelines.validate import validate_dataset
+
+    ds = ray.data.read_parquet(f"{corpus_dir}/pages-00000.parquet")
+    sink = str(tmp_path / "violations.parquet")
+    checks = [RegexCheck(column="url", pattern=r"^IMPOSSIBLE$",
+                         check_id="always_fails")]
+    result = validate_dataset(
+        ds, checks, None, uniqueness_column=None, batch_size=256,
+        concurrency=2, path_column=None,
+        max_violations_per_check=10, violations_path=sink,
+    )
+    m = result.matrix.groupby("check_id")[["n_violations", "n_rows"]].sum()
+    total = int(m.loc["always_fails", "n_violations"])
+    assert total == int(m.loc["always_fails", "n_rows"]) == 1000
+    # driver retains only the capped sample...
+    assert len(result.violations) == 10
+    # ...while the sink holds every violation row
+    sunk = pq.read_table(sink)
+    assert len(sunk) == total
+    assert set(sunk["check_id"].to_pylist()) == {"always_fails"}
