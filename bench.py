@@ -193,6 +193,8 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
                 pass
     n_blocks = max(len(paths), concurrency)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     def one_run(run_paths):
         checks = shrunk_pages_checks(lang_dim_ref=ray.put(lang),
                                      domain_dim_ref=ray.put(dom))
@@ -200,14 +202,12 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
                                    override_num_blocks=max(len(run_paths), concurrency))
         ds = ds.map_batches(shrink_html_batch, batch_format="pyarrow")
         t0 = time.time()
-        from biosample_enricher_ray.stages.validator import merge_sketch_records_batch
+        from biosample_enricher_ray.stages.validator import make_sketch_merger
 
         # batch_size 16384: at 4096 the driver's task-dispatch rate became the
         # pipeline ceiling (8- and 32-CPU legs pinned at the same wall time);
         # 4× fewer tasks makes the 32-leg compute-bound (measured exec-phase
         # speedup 3.94× for 4× CPUs)
-        from biosample_enricher_ray.stages.validator import make_sketch_merger
-
         rec = ds.map_batches(
             ValidateFingerprintStage,
             fn_constructor_kwargs=dict(checks=checks,
@@ -216,8 +216,15 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
             batch_format="pyarrow", batch_size=16384, concurrency=concurrency,
         ).map_batches(make_sketch_merger(collapse_partitions=True),
                       batch_format="pyarrow", batch_size=8192)
-        result = summarize_records(rec)
-        pdf = parquet_key_uniqueness(run_paths, "url")
+        # OVERLAP: the uniqueness shuffle (key column only, raw Ray tasks)
+        # is independent of the validator pass — launch it concurrently so
+        # its ~2-4 s no longer sits on the serial path after the map stage.
+        # Its tasks interleave with the Dataset tasks in the 1/4 of CPUs the
+        # actor pool leaves free.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            uniq_future = pool.submit(parquet_key_uniqueness, run_paths, "url")
+            result = summarize_records(rec)
+            pdf = uniq_future.result()
         result = _merge_uniqueness(
             result, _dup_frame_to_violations(pdf, "url"), "url", result.n_rows
         )
@@ -408,6 +415,9 @@ def main() -> None:
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from biosample_enricher_ray.cli import _quiet_schema_hash_warning
+
+    _quiet_schema_hash_warning()
 
     scaling_job = os.environ.get("GRAFT_BENCH_SCALING_JOB") == "1"
     try:

@@ -14,3 +14,14 @@ owned by the caller (bench.py, CLI, test fixture, or the evaluation driver).
 """
 
 __version__ = "0.1.0"
+
+# Quiet Ray Data's benign per-block 'Failed to hash the schemas' warning in
+# EVERY process that loads this package (driver and workers alike): parquet
+# written via pandas carries b'pandas' schema metadata that pyarrow cannot
+# hash, so Ray's schema-dedup fast path warns and falls back — harmless, but
+# at one line per block it drowns real errors in bench/driver logs.
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)

@@ -56,11 +56,17 @@ def regex_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(counts.astype("int64").to_numpy())
 
 
-def quality_features(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
+def quality_features(
+    texts: pa.Array | pa.ChunkedArray, *, score_decimals: int | None = 2
+) -> pa.Table:
     """Length / punctuation / stopword / uppercase features + a 0-100 score.
 
     Score tiers mirror the reference's completeness→score mapping
     (weather/providers/base.py:125-147): weighted sub-scores scaled to 100.
+    ``score_decimals=None`` returns the raw float score — aggregates that
+    must match a SQL oracle quantize it themselves with exact arithmetic
+    (library decimal rounding differs between numpy and DuckDB at half
+    boundaries; the raw expression is bit-identical across both).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -94,6 +100,8 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
         + 15.0 * np.clip(np.asarray(n_chars) / 500.0, 0, 1)
     )
     score = np.where(np.asarray(n_chars) == 0, 0.0, score)
+    if score_decimals is not None:
+        score = np.round(score, score_decimals)
 
     return pa.table(
         {
@@ -104,7 +112,7 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
             "upper_ratio": pa.array(upper_ratio),
             "stopword_ratio": pa.array(stop_ratio),
             "mean_token_len": pa.array(mean_token_len),
-            "quality_score": pa.array(np.round(score, 2)),
+            "quality_score": pa.array(score),
         }
     )
 

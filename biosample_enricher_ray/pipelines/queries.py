@@ -589,6 +589,49 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def coalesce_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Prioritized coalesce with null-ish normalization (M4 + M14,
+    adapters.py:198-222 + aligner.py:220-249): first non-empty of
+    (lang, source) per doc, counted."""
+    from ..functions.parsing import coalesce_first
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({"picked": coalesce_first(t, ["lang", "source"],
+                                                  default="unknown")})
+
+    out = (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby("picked")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("picked").reset_index(drop=True)
+
+
+def props_key_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Recursive JSON path profile of events.props (M23/A3 — the
+    schema_statistics.py walker recast): per-path occurrence counts via
+    per-batch partial walk + tiny groupby-sum."""
+    from ..functions.parsing import json_path_stats_batch
+
+    ds = _read(sf_dir, "events", columns=["props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return json_path_stats_batch(t["props"]).select(["path", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)
+
+
 def cosine_scores_embeddings(sf_dir: str) -> pd.DataFrame:
     """Exact cosine scores of every vec_id<20 vector against query vec 0
     (similarity-search kernel with a SQL oracle via list_cosine_similarity)."""
@@ -678,24 +721,34 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_documents(sf_dir: str) -> pd.DataFrame:
-    """Quality-score aggregate per source (A6 quality tiers analog)."""
+    """Quality-score aggregate per source (A6 quality tiers analog).
+
+    The per-group average is computed from INTEGER centi-scores so the sum
+    is order-independent (Ray's partial sums vs the oracle's sequential sum
+    otherwise land on opposite sides of a rounding boundary); both sides
+    round the final exact rational half-even."""
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        q = quality_features(t["text"])
-        return pa.table({"source": t["source"],
-                         "quality_score": q["quality_score"]})
+        raw = quality_features(t["text"], score_decimals=None)["quality_score"]
+        # exact half-up quantization: floor(x*100 + 0.5) is pure IEEE ops on
+        # a raw score that is bit-identical in numpy and DuckDB, so no
+        # library rounding mode can flip a boundary doc
+        q100 = np.floor(
+            raw.to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"source": t["source"], "q100": pa.array(q100)})
 
     out = (
         ds.map_batches(score, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(Mean("quality_score", alias_name="avg_quality"),
-                   Count(alias_name="n"))
+        .aggregate(Sum("q100", alias_name="sum_q100"), Count(alias_name="n"))
         .to_pandas()
     )
-    out["avg_quality"] = out["avg_quality"].round(3)
+    out["avg_quality"] = (out["sum_q100"] / (100.0 * out["n"])).round(3)
+    out = out.drop(columns=["sum_q100"])
     out["n"] = out["n"].astype("int64")
-    return out.sort_values("source").reset_index(drop=True)
+    return out[["source", "avg_quality", "n"]].sort_values("source").reset_index(drop=True)
 
 
 def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
@@ -826,6 +879,77 @@ def drift_events_value(sf_dir: str) -> pd.DataFrame:
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
+
+def _lang_id_oracle_sql() -> str:
+    """Generated from the SAME stopword profiles as the engine kernel
+    (functions/textstats.py LANG_STOPWORDS) — no drift possible. The argmax
+    chain picks the first language in profile order on ratio ties, matching
+    numpy argmax's first-occurrence semantics; ratios are exact int/int
+    divisions, so float comparisons agree bit-for-bit."""
+    from ..functions.textstats import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    counts = ", ".join(
+        "len(regexp_extract_all(lower(COALESCE(text, '')), "
+        f"'\\b(?:{'|'.join(sorted(LANG_STOPWORDS[lang]))})\\b')) AS c_{lang}"
+        for lang in langs
+    )
+    ratios = ", ".join(f"c_{lang} / toks AS r_{lang}" for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"r_{lang} >= r_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    all_r = ", ".join(f"r_{lang}" for lang in langs)
+    return (
+        "WITH f AS (SELECT text, "
+        "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nc, "
+        "GREATEST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')), 1) AS toks, "
+        f"{counts} FROM documents), "
+        f"r AS (SELECT nc, {ratios} FROM f), "
+        "p AS (SELECT CASE WHEN nc = 0 THEN NULL "
+        f"WHEN GREATEST({all_r}) < 0.08 THEN 'und' "
+        + " ".join(branches)
+        + " END AS pred_lang FROM r) "
+        "SELECT pred_lang, COUNT(*) AS n FROM p GROUP BY pred_lang "
+        "ORDER BY pred_lang"
+    )
+
+
+def _quality_oracle_sql() -> str:
+    """Quality-score formula (functions/textstats.py quality_features)
+    transcribed into SQL; ASCII corpus makes RE2 and Python regex agree."""
+    from ..functions.textstats import LANG_STOPWORDS
+
+    stop_pat = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
+    return (
+        "WITH f AS (SELECT source, "
+        "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nc, "
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, "
+        "len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS na, "
+        "len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS np, "
+        f"len(regexp_extract_all(lower(COALESCE(text, '')), '{stop_pat}')) AS ns "
+        "FROM documents), "
+        "g AS (SELECT source, nc, GREATEST(nc, 1) AS chars, "
+        "GREATEST(ntok, 1) AS toks, na, np, ns FROM f), "
+        # floor(raw*100 + 0.5): exact IEEE ops on a raw score that is
+        # bit-identical between numpy and DuckDB — no library decimal
+        # rounding anywhere in the quantization
+        "s AS (SELECT source, CASE WHEN nc = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(FLOOR(("
+        "30.0 * LEAST(GREATEST((na / chars) / 0.7, 0), 1) + "
+        "20.0 * (1.0 - LEAST(GREATEST(((np / chars) - 0.08) / 0.3, 0), 1)) + "
+        "20.0 * LEAST(GREATEST((ns / toks) / 0.25, 0), 1) + "
+        "15.0 * (1.0 - LEAST(GREATEST(ABS((chars / toks) - 5.5) / 8.0, 0), 1)) + "
+        "15.0 * LEAST(GREATEST(nc / 500.0, 0), 1)) * 100.0 + 0.5) AS BIGINT) "
+        "END AS q100 FROM g) "
+        # integer centi-score sum -> both sides round the same exact rational
+        "SELECT source, round_even(SUM(q100) / (100.0 * COUNT(*)), 3) "
+        "AS avg_quality, COUNT(*) AS n "
+        "FROM s GROUP BY source ORDER BY source"
+    )
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "null_rate_documents": null_rate_documents,
     "completeness_documents": completeness_documents,
@@ -850,6 +974,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "union_event_halves": union_event_halves,
     "part_stats_by_brand": part_stats_by_brand,
     "events_props_extract": events_props_extract,
+    "coalesce_profile_documents": coalesce_profile_documents,
+    "props_key_profile_events": props_key_profile_events,
     "cosine_scores_embeddings": cosine_scores_embeddings,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
@@ -1092,6 +1218,24 @@ ORACLE_SQL: dict[str, str] = {
         "       (SELECT CAST(ta AS BIGINT) FROM t) AS n_first,"
         "       (SELECT CAST(tb AS BIGINT) FROM t) AS n_second FROM c"
     ),
+    "coalesce_profile_documents": (
+        "SELECT COALESCE("
+        "NULLIF(CASE WHEN lower(trim(lang)) IN "
+        "('', 'null', 'none', 'n/a', 'na', 'unknown') THEN NULL "
+        "ELSE trim(lang) END, ''), "
+        "CASE WHEN lower(trim(source)) IN "
+        "('', 'null', 'none', 'n/a', 'na', 'unknown') THEN NULL "
+        "ELSE trim(source) END, 'unknown') AS picked, "
+        "COUNT(*) AS n FROM documents GROUP BY picked ORDER BY picked"
+    ),
+    "props_key_profile_events": (
+        "SELECT '$.' || k AS path, COUNT(*) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(props, "
+        "'\"([A-Za-z0-9_]+)\"\\s*:', 1)) AS k "
+        "FROM events WHERE props IS NOT NULL) GROUP BY 1 ORDER BY 1"
+    ),
+    "lang_id_documents": _lang_id_oracle_sql(),
+    "quality_documents": _quality_oracle_sql(),
     "ann_topk_embeddings": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
         "           WHERE vec_id < 3),"

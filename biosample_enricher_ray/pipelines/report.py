@@ -93,9 +93,76 @@ def to_markdown(result: ValidationResult, title: str = "Validation report") -> s
     return "\n".join(lines)
 
 
+def _svg_bar_chart(labels: list[str], values: list[float], *, width: int = 720,
+                   bar_h: int = 18, gap: int = 6, color_fn=None) -> str:
+    """Dependency-free horizontal bar chart as inline SVG (the visualizer
+    analog, metrics/visualizer.py:370-413 — no matplotlib in this stack)."""
+    vmax = max([v for v in values if v == v] + [1e-12])
+    label_w = 220
+    rows = []
+    for i, (lab, v) in enumerate(zip(labels, values)):
+        y = i * (bar_h + gap)
+        w = max(1.0, (width - label_w - 80) * (v / vmax)) if v == v else 0
+        color = color_fn(v) if color_fn else "#4878a8"
+        rows.append(
+            f'<text x="{label_w - 8}" y="{y + bar_h - 4}" text-anchor="end" '
+            f'font-size="12" font-family="monospace">{lab}</text>'
+            f'<rect x="{label_w}" y="{y}" width="{w:.1f}" height="{bar_h}" '
+            f'fill="{color}" rx="2"/>'
+            f'<text x="{label_w + w + 6:.1f}" y="{y + bar_h - 4}" '
+            f'font-size="12" font-family="monospace">{v:.6g}</text>'
+        )
+    h = len(labels) * (bar_h + gap)
+    return (f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{h}" viewBox="0 0 {width} {h}">' + "".join(rows) + "</svg>")
+
+
+def to_html_dashboard(result: ValidationResult,
+                      title: str = "Validation dashboard") -> str:
+    """Self-contained HTML dashboard: headline tiles, per-check violation-rate
+    bars, column-profile table (metrics/dashboard.py:9 analog; zero deps —
+    inline SVG, renders in any browser)."""
+    summary = check_summary(result)
+    status = "PASS" if result.passed() else "FAIL"
+    status_color = "#2e7d32" if result.passed() else "#c62828"
+    bars = ""
+    if len(summary):
+        bars = _svg_bar_chart(
+            summary["check_id"].tolist(),
+            summary["violation_rate"].astype(float).tolist(),
+            color_fn=lambda v: "#2e7d32" if v == 0 else "#c62828",
+        )
+    prof = profile_table(result)
+    prof_html = prof.to_html(index=False, border=0) if len(prof) else ""
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 24px; color: #222; }}
+ .tiles {{ display: flex; gap: 16px; margin-bottom: 24px; }}
+ .tile {{ border: 1px solid #ddd; border-radius: 8px; padding: 12px 20px; }}
+ .tile b {{ display: block; font-size: 22px; }}
+ table {{ border-collapse: collapse; font-size: 13px; }}
+ td, th {{ padding: 4px 10px; border-bottom: 1px solid #eee; text-align: right; }}
+ th {{ background: #f5f5f5; }}
+</style></head><body>
+<h1>{title}</h1>
+<div class="tiles">
+ <div class="tile"><b style="color:{status_color}">{status}</b>overall</div>
+ <div class="tile"><b>{result.n_rows:,}</b>rows validated</div>
+ <div class="tile"><b>{result.total_violations:,}</b>violations</div>
+ <div class="tile"><b>{len(summary)}</b>checks</div>
+</div>
+<h2>Violation rate per check</h2>
+{bars}
+<h2>Column profiles</h2>
+{prof_html}
+</body></html>"""
+
+
 def write_report(result: ValidationResult, out_dir: str,
                  title: str = "Validation report") -> dict[str, str]:
-    """CSV + markdown + JSON sinks (reporter.py:632-670 analog)."""
+    """CSV + markdown + JSON + HTML-dashboard sinks (reporter.py:632-670 +
+    metrics/dashboard.py analog)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     summary = check_summary(result)
@@ -108,6 +175,9 @@ def write_report(result: ValidationResult, out_dir: str,
     paths["markdown"] = os.path.join(out_dir, "report.md")
     with open(paths["markdown"], "w") as f:
         f.write(to_markdown(result, title))
+    paths["html"] = os.path.join(out_dir, "dashboard.html")
+    with open(paths["html"], "w") as f:
+        f.write(to_html_dashboard(result, title))
     paths["summary_json"] = os.path.join(out_dir, "summary.json")
     with open(paths["summary_json"], "w") as f:
         json.dump(

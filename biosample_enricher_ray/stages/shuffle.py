@@ -231,6 +231,39 @@ def shuffle_semi_join_complement(
     return pd.DataFrame({"n_orphans": [int(sum(counts))], "n_rows": [int(n_rows)]})
 
 
+def sampling_variance(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    n_samples: int = 5,
+    frac: float = 0.1,
+    seed: int = 23,
+) -> pd.DataFrame:
+    """Repeated-sample distribution-consistency probe (A11,
+    /root/reference/biosample_enricher/random_sampling_demo.py:339-346,
+    607-640): draw ``n_samples`` independent fractions, aggregate the target
+    column per sample, report per-sample means plus the across-sample
+    variance — large variance flags a sampling pipeline that is not i.i.d.
+    (e.g. sorted input + block-aligned sampling)."""
+
+    rows = []
+    for i in range(n_samples):
+        sample = ds.select_columns([column]).random_sample(frac, seed=seed + i)
+
+        def partial(t: pa.Table) -> pa.Table:
+            col = t[column].combine_chunks().drop_null()
+            s = pc.sum(col).as_py() or 0.0
+            return pa.table({"s": pa.array([float(s)]),
+                             "n": pa.array([len(col)], pa.int64())})
+
+        agg = sample.map_batches(partial, batch_format="pyarrow").sum(["s", "n"])
+        n = int(agg["sum(n)"]) or 1
+        rows.append({"sample_id": i, "n": n, "mean": agg["sum(s)"] / n})
+    out = pd.DataFrame(rows)
+    out["across_sample_variance"] = float(np.var(out["mean"].to_numpy()))
+    return out
+
+
 def detect_skewed_keys(
     ds: ray.data.Dataset, key_column: str, *, top: int = 20, sample_frac: float = 0.05
 ) -> pd.DataFrame:

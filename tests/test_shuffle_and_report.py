@@ -102,3 +102,26 @@ def test_report_outputs(tmp_path, corpus_dir):
 
     for p in paths.values():
         assert os.path.exists(p)
+
+
+def test_html_dashboard_sink(tmp_path, corpus_dir):
+    """Dashboard sink (visualizer/dashboard analog): self-contained HTML with
+    inline SVG bars, written alongside the CSV/MD/JSON sinks."""
+    import ray.data
+
+    from biosample_enricher_ray.pipelines.report import write_report
+    from biosample_enricher_ray.pipelines.validate import (
+        default_pages_checks,
+        records_dataset,
+        summarize_records,
+    )
+
+    ds = ray.data.read_parquet(f"{corpus_dir}/pages-00000.parquet")
+    res = summarize_records(records_dataset(ds, default_pages_checks(), None,
+                                            batch_size=512, concurrency=2,
+                                            path_column=None))
+    paths = write_report(res, str(tmp_path / "report"))
+    html = open(paths["html"]).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<svg" in html and "rows validated" in html
+    assert "url_format" in html  # per-check bars present
