@@ -6,14 +6,21 @@ Mongo-id-assumed uniqueness. A training-data engine needs corpus-level
 dedup as first-class operators (task brief); everything here is expressed
 Ray-Data-first:
 
-- **exact**: vectorized content-hash per batch → hash-partitioned
-  ``groupby(hash)`` → per-group representative (min id). Only (hash, id[,
-  len]) columns are shuffled, never the documents.
-- **MinHash+LSH**: per-batch signature computation (stateful actor holds the
-  permutation table) → explode to (band, band_key, id) rows → tiny groupby on
-  band keys → candidate pairs → signature-estimated Jaccard filter.
-- **SimHash**: 64-bit signatures per batch; near-dup candidates via the
-  4×16-bit pigeonhole banding, verified by Hamming distance.
+- **exact**: explicit numpy hash shuffle of (content-hash, id) — 16 B/row,
+  never the documents; single-member hash groups are final, multi-member
+  groups are candidates resolved exactly from the texts in a second,
+  candidate-only pass (correctness never relies on hash uniqueness).
+- **MinHash+LSH**: per-block signature computation → 20-byte
+  (band-key, id) rows through the same explicit hash shuffle → vectorized
+  in-bucket pair emission (star edges beyond ``max_group_size``) →
+  distributed dedup → candidate-only signature recompute + scoring; plus
+  union-find cluster/keeper assignment (``minhash_dedup_clusters``).
+- **SimHash**: 6-block / choose-3 Manku banding (~32-bit keys — bucket
+  count grows with the corpus), exact vectorized Hamming verification.
+
+All three exchanges are raw-Ray hash shuffles (the documented Dataset-API
+fallback, stages/shuffle.py:56): Ray Data's sort-based groupby measured
+5-15× slower on these key-only row shapes.
 """
 
 from __future__ import annotations
@@ -77,37 +84,75 @@ def exact_dedup_groups(
     Reference semantics: keeper-id dedup (adapters.py:330-337) promoted to
     corpus level.
     """
-    from ray.data.aggregate import Count, Min
-
     hf = hash_fn or hash64
-    agg = (
-        content_hash_keys(ds, text_column, id_column, hf)
-        .groupby("__h")
-        .aggregate(Min(id_column, alias_name="keep_id"), Count(alias_name="n"))
+    # Phase 1+2 as an explicit numpy hash shuffle (the parquet_key_uniqueness
+    # idiom): map tasks emit per-bucket (hash, id) arrays — 16 bytes/row —
+    # and each reducer resolves its hash groups locally. Ray Data's
+    # sort-based groupby paid ~2 s per exchange on the same rows. Singles
+    # STAY in the object store (from_arrow_refs), never on the driver.
+    block_refs = ds.to_arrow_refs()
+    num_buckets = 1 << max(
+        2, int(np.ceil(np.log2(max(4, int(ray.cluster_resources().get("CPU", 4))))))
     )
+    shift = np.uint64(64 - int(np.log2(num_buckets)))
 
-    def split_singles(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["n"], 1)).select(["keep_id", "n"])
+    @ray.remote
+    def map_block(t: pa.Table) -> list[np.ndarray]:
+        h = np.asarray(hf(t[text_column]), dtype=np.uint64)
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (h >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        h, ids, bucket = h[order], ids[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(num_buckets + 1))
+        return [
+            np.column_stack([h[bounds[b] : bounds[b + 1]].view(np.int64),
+                             ids[bounds[b] : bounds[b + 1]]])
+            for b in range(num_buckets)
+        ]
 
-    def split_dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["n"], 1)).select(["__h"])
+    @ray.remote(num_returns=2)
+    def reduce_bucket(*parts: np.ndarray):
+        kept = [p for p in parts if len(p)]
+        rows = np.concatenate(kept) if kept else None
+        empty = pa.table({"keep_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if rows is None or len(rows) == 0:
+            return empty, np.empty(0, np.int64)
+        h, ids = rows[:, 0], rows[:, 1]
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        ends = np.concatenate([starts[1:], [h.size]])
+        counts = ends - starts
+        single = counts == 1
+        singles = pa.table(
+            {"keep_id": pa.array(ids[starts[single]]),
+             "n": pa.array(np.ones(int(single.sum()), np.int64))}
+        )
+        return singles, h[starts[~single]]
 
-    singles = agg.map_batches(split_singles, batch_format="pyarrow")
+    map_refs = [map_block.options(num_returns=num_buckets).remote(b)
+                for b in block_refs]
+    if num_buckets == 1:
+        map_refs = [[r] for r in map_refs]
+    reduce_refs = [
+        reduce_bucket.remote(*[m[b] for m in map_refs])
+        for b in range(num_buckets)
+    ]
+    singles_refs = [r[0] for r in reduce_refs]
+    dup_parts = ray.get([r[1] for r in reduce_refs])
+    singles = ray.data.from_arrow_refs(singles_refs)
     # candidate hashes: one 8-byte value per duplicated content — small by
     # construction relative to the corpus (it is the distinct-dup count)
-    dup_tables = [
-        b for b in agg.map_batches(split_dups, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        )
-    ]
     dup_hashes = (
-        np.sort(np.concatenate([t["__h"].to_numpy() for t in dup_tables]))
-        if dup_tables
+        np.sort(np.concatenate([p for p in dup_parts if len(p)]))
+        if any(len(p) for p in dup_parts)
         else np.empty(0, np.int64)
     )
     if dup_hashes.size == 0:
         return singles
     dup_ref = ray.put(dup_hashes)
+    ds = ray.data.from_arrow_refs(block_refs)  # phase-3 re-scan without re-read
 
     class CandidateFilter:
         """Second pass: keep only rows whose content hash is duplicated."""
@@ -398,7 +443,10 @@ class MinHasher:
             # cache-blocked: permute a ~96 KiB shingle segment 64 times while
             # it sits in L2 instead of streaming the full batch's shingles
             # from DRAM per permutation — 28 concurrent actors saturate the
-            # memory bus otherwise (measured 4× CPU/row inflation)
+            # memory bus otherwise (measured 4× CPU/row inflation).
+            # reduceat runs ONLY over docs with ≥1 shingle: a zero-shingle
+            # doc at a block boundary would otherwise clamp to seg.size-1
+            # and steal the previous doc's last shingle from its segment.
             chunk_docs = max(1, int(12_000 // max(1, sh.size // max(n_docs, 1))))
             with np.errstate(over="ignore"):
                 for c0 in range(0, n_docs, chunk_docs):
@@ -407,10 +455,14 @@ class MinHasher:
                     if s1 == s0:
                         continue
                     seg = sh[s0:s1]
-                    rs = np.minimum(starts[c0:c1] - s0, seg.size - 1)
+                    nzb = seg_lens[c0:c1] > 0
+                    rs = (starts[c0:c1] - s0)[nzb]
+                    if rs.size == 0:
+                        continue
+                    idx = np.flatnonzero(nzb) + c0
                     for p in range(self.num_perm):
                         permuted = self.a[p] * seg
-                        sigs[c0:c1, p] = np.minimum.reduceat(permuted, rs)
+                        sigs[idx, p] = np.minimum.reduceat(permuted, rs)
             sigs[~nonempty] = 0
         nonempty &= ~null_mask
         sigs[~nonempty] = 0
@@ -561,7 +613,8 @@ def minhash_lsh_candidates(
 
     @ray.remote
     def reduce_bucket(*parts: np.ndarray) -> np.ndarray:
-        rows = np.concatenate([p for p in parts if len(p)]) if parts else None
+        kept = [p for p in parts if len(p)]
+        rows = np.concatenate(kept) if kept else None
         if rows is None or len(rows) == 0:
             return np.empty((0, 2), np.int64)
         k, ids = rows[:, 0], rows[:, 1]
@@ -732,9 +785,15 @@ def simhash_from_tokens(th: np.ndarray, tok_counts: np.ndarray,
     th_bytes = th.view(np.uint8).reshape(-1, 8)
     nonempty = tok_counts > 0
     starts = np.concatenate([[0], np.cumsum(tok_counts)])
-    n_tok_eff_all = np.add.reduceat(
-        (~empty_tok).astype(np.int32), np.minimum(starts[:-1], max(len(th) - 1, 0))
-    ) if len(th) else np.zeros(n_docs, np.int32)
+    # effective (non-empty) token count per doc; reduceat only over docs with
+    # ≥1 token — a zero-token doc's clamped start would otherwise steal the
+    # previous doc's last token from its segment
+    n_tok_eff_all = np.zeros(n_docs, dtype=np.int32)
+    if len(th) and nonempty.any():
+        rs_nz = starts[:-1][nonempty]
+        n_tok_eff_all[nonempty] = np.add.reduceat(
+            (~empty_tok).astype(np.int32), rs_nz
+        )
     sign_bits = np.zeros((n_docs, 64), dtype=np.uint64)
     # cache-blocked: unpack + reduce ~1-2k tokens at a time so the (tokens,64)
     # bit matrix stays L2-resident (a batch-wide cumsum streamed hundreds of
@@ -750,9 +809,13 @@ def simhash_from_tokens(th: np.ndarray, tok_counts: np.ndarray,
         bits = np.unpackbits(th_bytes[s0:s1], axis=1)
         if empty_tok[s0:s1].any():
             bits[empty_tok[s0:s1]] = 0
-        rs = np.minimum(starts[c0:c1] - s0, (s1 - s0) - 1)
+        nzb = tok_counts[c0:c1] > 0
+        rs = (starts[c0:c1] - s0)[nzb]
+        if rs.size == 0:
+            continue
+        idx = np.flatnonzero(nzb) + c0
         ones = np.add.reduceat(bits.astype(np.int32, copy=False), rs, axis=0)
-        sign_bits[c0:c1] = (2 * ones) > n_tok_eff_all[c0:c1, None]
+        sign_bits[idx] = (2 * ones) > n_tok_eff_all[idx, None]
     for b in range(64):
         out |= sign_bits[:, b] << np.uint64(b)
     out[~nonempty] = 0
@@ -760,19 +823,51 @@ def simhash_from_tokens(th: np.ndarray, tok_counts: np.ndarray,
 
 
 def text_fingerprints(
-    texts: pa.Array | pa.ChunkedArray, minhasher: "MinHasher"
+    texts: pa.Array | pa.ChunkedArray,
+    minhasher: "MinHasher",
+    *,
+    chunk_docs: int = 512,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-tokenization fused fingerprint pass: (minhash sigs, mask, simhash).
 
     The fused bench/production stage computes both signatures from a single
-    Arrow lower+split + token-hash pass — tokenization is roughly half the
-    per-row cost of either kernel alone.
+    token-hash pass — tokenization is roughly half the per-row cost of
+    either kernel alone.
+
+    Processed in ``chunk_docs`` sub-slices: a 16k-row batch's flat
+    token-hash + shingle intermediates are ~26 MB/actor, and with 24
+    concurrent actors that thrashes the shared LLC and saturates DRAM
+    (measured 3× per-row inflation on a bandwidth-capped host). A ~512-doc
+    slice keeps intermediates well under 1 MB so the working set stays
+    cache-resident even with 24+ actors sharing the LLC (71.5 → 57.6 µs/row
+    single-core, and the pool-level inflation disappears); only the
+    512 B/doc signatures and 8 B/doc simhashes are written out.
+    Sub-slicing is exact (sliced-array handling is offset-correct, see
+    _utf8_bytes_and_offsets).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    th, tok_counts, empty_tok, null_mask = _token_hashes(texts, minhasher.lowercase)
-    sigs, mask = minhasher.signatures_from_tokens(th, tok_counts, null_mask)
-    sh = simhash_from_tokens(th, tok_counts, empty_tok)
+    n = len(texts)
+    if n <= chunk_docs:
+        th, tok_counts, empty_tok, null_mask = _token_hashes(
+            texts, minhasher.lowercase
+        )
+        sigs, mask = minhasher.signatures_from_tokens(th, tok_counts, null_mask)
+        sh = simhash_from_tokens(th, tok_counts, empty_tok)
+        return sigs, mask, sh
+    sigs = np.empty((n, minhasher.num_perm), dtype=np.uint64)
+    mask = np.empty(n, dtype=bool)
+    sh = np.empty(n, dtype=np.uint64)
+    for s in range(0, n, chunk_docs):
+        e = min(s + chunk_docs, n)
+        part = texts.slice(s, e - s)
+        th, tok_counts, empty_tok, null_mask = _token_hashes(
+            part, minhasher.lowercase
+        )
+        sigs[s:e], mask[s:e] = minhasher.signatures_from_tokens(
+            th, tok_counts, null_mask
+        )
+        sh[s:e] = simhash_from_tokens(th, tok_counts, empty_tok)
     return sigs, mask, sh
 
 
@@ -885,7 +980,8 @@ def simhash_near_dups(
 
     @ray.remote
     def reduce_bucket(*parts: np.ndarray) -> np.ndarray:
-        rows = np.concatenate([p for p in parts if len(p)]) if parts else None
+        kept = [p for p in parts if len(p)]
+        rows = np.concatenate(kept) if kept else None
         if rows is None or len(rows) == 0:
             return np.empty((0, 3), np.int64)
         k, ids, hs = rows[:, 0], rows[:, 1], rows[:, 2].view(np.uint64)
