@@ -99,7 +99,10 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
         ds = ds.map_batches(shrink_html_batch, batch_format="pyarrow")
         t0 = time.time()
         result = validate_dataset(
-            ds, checks, shrunk_pages_profile(), batch_size=16384,
+            # batch_size=None: whole zero-copy blocks (html already shrunk at
+            # the scan, so giant-row pressure is gone and re-batching copies
+            # are pure overhead — same finding as the scaling job)
+            ds, checks, shrunk_pages_profile(), batch_size=None,
             concurrency=concurrency, uniqueness_paths=paths,
         )
         return time.time() - t0, result

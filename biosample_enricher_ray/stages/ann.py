@@ -136,6 +136,150 @@ def brute_force_topk(
     return out
 
 
+# ------------------------------------------------------------------- IVF
+
+
+def build_ivf_centroids(
+    ds: ray.data.Dataset,
+    *,
+    n_centroids: int = 64,
+    sample_limit: int = 20_000,
+    iters: int = 10,
+    seed: int = 13,
+    embedding_column: str = "embedding",
+) -> np.ndarray:
+    """Coarse IVF centroids via Lloyd k-means on a bounded driver sample.
+
+    The scale path for similarity search (task brief: "an IVF or
+    LSH-bucketed variant as the scale path"): train on ≤ ``sample_limit``
+    vectors (the reference's 50k-sample profiling precedent,
+    schema_inference.py:23), broadcast the (n_centroids, d) matrix once —
+    it is tiny — and assign/search per batch. Deterministic in (seed, data).
+    """
+    n_total = ds.count()
+    frac = min(1.0, sample_limit / max(n_total, 1))
+    sample = ds.select_columns([embedding_column])
+    if frac < 1.0:
+        sample = sample.random_sample(frac, seed=seed)
+    mats = [
+        _to_matrix(b[embedding_column])
+        for b in sample.iter_batches(batch_size=8192, batch_format="pyarrow")
+        if len(b)
+    ]
+    x = _normalize(np.concatenate(mats).astype(np.float64))
+    # block arrival order varies between runs; lexicographic row sort makes
+    # the k-means init (and thus the whole index) order-independent
+    x = x[np.lexsort(x.T[::-1])]
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IVFLocalTopK:
+    """Actor-pool stage: per-batch top-k restricted to each query's probed
+    IVF cells — vectors outside the ``n_probe`` nearest centroids of a query
+    are skipped entirely, turning the full scan into a partitioned lookup.
+    Same determinism contract as CosineTopK."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int = 10,
+                 n_probe: int = 4, id_column: str = "vec_id",
+                 embedding_column: str = "embedding") -> None:
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        c = centroids_ref
+        if isinstance(c, ray.ObjectRef):
+            c = ray.get(c)
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.cents = np.asarray(c, dtype=np.float64)
+        n_probe = min(n_probe, len(self.cents))
+        # per-query probe set: n_probe nearest centroids
+        qc = self.q @ self.cents.T  # (nq, ncent)
+        self.probe = np.argpartition(-qc, kth=n_probe - 1, axis=1)[:, :n_probe]
+        self.k = k
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch[self.embedding_column]).astype(np.float64))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        assign = np.argmax(vecs @ self.cents.T, axis=1)  # (n,)
+        out_q, out_v, out_s = [], [], []
+        for j in range(self.q.shape[0]):
+            m = np.isin(assign, self.probe[j])
+            if not m.any():
+                continue
+            scores = np.round(vecs[m] @ self.q[j], SCORE_DECIMALS)
+            sub_ids = ids[m]
+            order = np.lexsort((sub_ids, -scores))[: self.k]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_v.append(sub_ids[order])
+            out_s.append(scores[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_column: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             self.id_column: pa.array(np.concatenate(out_v)),
+             "score": pa.array(np.concatenate(out_s).astype(np.float64))}
+        )
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    concurrency: int | None = None,
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via IVF cells: brute_force_topk's shape, but
+    each batch scores only vectors assigned to a query's probed cells —
+    the compute per query drops by ~n_centroids/n_probe at equal recall
+    knobs. Deterministic given (centroids, data)."""
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    if centroids is None:
+        centroids = build_ivf_centroids(
+            ds, n_centroids=n_centroids, embedding_column=embedding_column
+        )
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    partials = ds.map_batches(
+        IVFLocalTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=q_ref, centroids_ref=c_ref, k=k, n_probe=n_probe,
+            id_column=id_column, embedding_column=embedding_column,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()
+    out = (
+        partials.sort_values(["query_id", "score", id_column],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount()
+    if query_ids is not None:
+        out["query_id"] = np.asarray(query_ids, dtype=np.int64)[out["query_id"]]
+    return out
+
+
 # ----------------------------------------------------------- LSH-bucketed
 
 

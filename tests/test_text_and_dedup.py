@@ -312,3 +312,27 @@ def test_rolling_fingerprint_matches_reference_rows():
     arr = pa.array(texts, pa.string())
     got_sl = rolling_fingerprint(arr.slice(2, 5)).to_pylist()
     assert got_sl == want[2:7]
+
+
+def test_ivf_topk_recall_and_determinism(sf001_dir):
+    """IVF top-k: self-match at rank 0, decent recall vs brute force on the
+    shared embeddings, identical output across invocations (fixed seed)."""
+    import ray.data
+
+    from biosample_enricher_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[:3]
+    exact = brute_force_topk(ds, q, k=10, concurrency=2)
+    approx = ivf_topk(ds, q, k=10, n_centroids=16, n_probe=4, concurrency=2)
+    approx2 = ivf_topk(ds, q, k=10, n_centroids=16, n_probe=4, concurrency=2)
+    pd.testing.assert_frame_equal(approx, approx2)  # deterministic
+    for qi in range(3):
+        ex = set(exact[exact["query_id"] == qi]["vec_id"])
+        ap = set(approx[approx["query_id"] == qi]["vec_id"])
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.5, (qi, recall)
+        top = approx[(approx["query_id"] == qi) & (approx["rank"] == 0)].iloc[0]
+        assert top["vec_id"] == pdf["vec_id"][qi]  # self found despite probing
