@@ -589,6 +589,86 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def quantiles_n_chars_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles of a bounded-cardinality numeric column:
+    per-batch value_counts partials → tiny groupby-sum → driver cumsum →
+    quantile_disc semantics. The exact twin of the TDigest profile path
+    (A3) — scalable because the exchange is one row per distinct value."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        c = t["n_chars"].combine_chunks().drop_null().value_counts()
+        return pa.table({"v": c.field("values"), "n": c.field("counts")})
+
+    counts = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy()
+
+    def q_disc(q: float) -> int:
+        # SQL quantile_disc: value at 1-based rank ceil(q * total)
+        target = max(1, int(np.ceil(q * total)))
+        return int(vals[np.searchsorted(cum, target)])
+
+    return pd.DataFrame(
+        {
+            "p25": [q_disc(0.25)],
+            "p50": [q_disc(0.50)],
+            "p75": [q_disc(0.75)],
+            "p99": [q_disc(0.99)],
+            "n_rows": [total],
+        }
+    )
+
+
+def supplier_acctbal_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate over supplier (the last otherwise-unused shared
+    table). Balances sum as integer CENTS (the quality_documents pattern) so
+    per-group sums are exact and order-independent, and the avg's rounding
+    decision is identical on both sides."""
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"s_nationkey": t["s_nationkey"],
+                         "cents": pa.array(cents)})
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("cents", alias_name="_sum_c"),
+            Min("cents", alias_name="_min_c"),
+            Max("cents", alias_name="_max_c"),
+        )
+        .to_pandas()
+    )
+    out["min_bal"] = out["_min_c"] / 100.0
+    out["max_bal"] = out["_max_c"] / 100.0
+    out["sum_bal"] = out["_sum_c"] / 100.0
+    # floor-half-up on the exact rational: identical IEEE ops both sides, no
+    # library decimal rounding (np.round and DuckDB round differ at
+    # quantized half-boundaries like .3675)
+    out["avg_bal"] = np.floor(
+        out["_sum_c"] * 10.0 / out["n_suppliers"] + 0.5
+    ) / 1000.0
+    out = out.drop(columns=["_sum_c", "_min_c", "_max_c"])
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["s_nationkey"] = out["s_nationkey"].astype("int64")
+    cols = ["s_nationkey", "n_suppliers", "min_bal", "max_bal", "sum_bal", "avg_bal"]
+    return out[cols].sort_values("s_nationkey").reset_index(drop=True)
+
+
 def coalesce_profile_documents(sf_dir: str) -> pd.DataFrame:
     """Prioritized coalesce with null-ish normalization (M4 + M14,
     adapters.py:198-222 + aligner.py:220-249): first non-empty of
@@ -745,7 +825,11 @@ def quality_documents(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("q100", alias_name="sum_q100"), Count(alias_name="n"))
         .to_pandas()
     )
-    out["avg_quality"] = (out["sum_q100"] / (100.0 * out["n"])).round(3)
+    # floor-half-up on the exact rational (identical IEEE ops both sides —
+    # library decimal rounding diverges at quantized half-boundaries)
+    out["avg_quality"] = np.floor(
+        out["sum_q100"] * 10.0 / out["n"] + 0.5
+    ) / 1000.0
     out = out.drop(columns=["sum_q100"])
     out["n"] = out["n"].astype("int64")
     return out[["source", "avg_quality", "n"]].sort_values("source").reset_index(drop=True)
@@ -964,9 +1048,10 @@ def _quality_oracle_sql() -> str:
         "15.0 * (1.0 - LEAST(GREATEST(ABS((chars / toks) - 5.5) / 8.0, 0), 1)) + "
         "15.0 * LEAST(GREATEST(nc / 500.0, 0), 1)) * 100.0 + 0.5) AS BIGINT) "
         "END AS q100 FROM g) "
-        # integer centi-score sum -> both sides round the same exact rational
-        "SELECT source, round_even(SUM(q100) / (100.0 * COUNT(*)), 3) "
-        "AS avg_quality, COUNT(*) AS n "
+        # floor-half-up over the exact integer centi-sum: identical IEEE ops
+        # both sides, no library decimal rounding anywhere
+        "SELECT source, FLOOR(CAST(SUM(q100) AS BIGINT) * 10.0 / COUNT(*) + 0.5) "
+        "/ 1000.0 AS avg_quality, COUNT(*) AS n "
         "FROM s GROUP BY source ORDER BY source"
     )
 
@@ -994,6 +1079,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "union_event_halves": union_event_halves,
     "part_stats_by_brand": part_stats_by_brand,
     "events_props_extract": events_props_extract,
+    "quantiles_n_chars_documents": quantiles_n_chars_documents,
+    "supplier_acctbal_by_nation": supplier_acctbal_by_nation,
     "coalesce_profile_documents": coalesce_profile_documents,
     "props_key_profile_events": props_key_profile_events,
     "cosine_scores_embeddings": cosine_scores_embeddings,
@@ -1238,6 +1325,23 @@ ORACLE_SQL: dict[str, str] = {
         "       ROUND(SUM((p - q) * LN(p / q)), 4) AS psi,"
         "       (SELECT CAST(ta AS BIGINT) FROM t) AS n_first,"
         "       (SELECT CAST(tb AS BIGINT) FROM t) AS n_second FROM c"
+    ),
+    "quantiles_n_chars_documents": (
+        "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
+        "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75, "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99, "
+        "COUNT(n_chars) AS n_rows FROM documents"
+    ),
+    "supplier_acctbal_by_nation": (
+        "WITH c AS (SELECT s_nationkey, "
+        "CAST(ROUND(s_acctbal * 100.0, 0) AS BIGINT) AS cents FROM supplier) "
+        "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+        "COUNT(*) AS n_suppliers, "
+        "MIN(cents) / 100.0 AS min_bal, MAX(cents) / 100.0 AS max_bal, "
+        "CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_bal, "
+        "FLOOR(CAST(SUM(cents) AS BIGINT) * 10.0 / COUNT(*) + 0.5) / 1000.0 AS avg_bal "
+        "FROM c GROUP BY s_nationkey ORDER BY s_nationkey"
     ),
     "coalesce_profile_documents": (
         "SELECT COALESCE("
