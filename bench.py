@@ -500,9 +500,6 @@ def main() -> None:
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
-    from biosample_enricher_ray.cli import _quiet_schema_hash_warning
-
-    _quiet_schema_hash_warning()
 
     scaling_job = os.environ.get("GRAFT_BENCH_SCALING_JOB") == "1"
     try:

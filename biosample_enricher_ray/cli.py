@@ -34,19 +34,8 @@ def _init_ray(num_cpus: int | None) -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    _quiet_schema_hash_warning()
-
-
-def _quiet_schema_hash_warning() -> None:
-    """Silence Ray Data's benign 'Failed to hash the schemas' warning: parquet
-    written via pandas carries b'pandas' schema metadata that pyarrow cannot
-    hash, so Ray's schema-dedup fast path logs a warning per block and falls
-    back to the slow path — cosmetic, but it drowns real errors."""
-    import logging
-
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
+    # (the benign 'Failed to hash the schemas' warning is silenced by the
+    # package __init__, which every process imports)
 
 
 def cmd_validate(args: argparse.Namespace) -> int:

@@ -31,8 +31,10 @@ NULLISH_TOKENS = ("", "null", "none", "n/a", "na", "unknown")
 _COORD_PATTERNS = (
     # "12.5 -7.25" / "12.5, -7.25"
     r"^\s*(?P<lat>[-+]?\d+(?:\.\d+)?)\s*[,\s]\s*(?P<lon>[-+]?\d+(?:\.\d+)?)\s*$",
-    # {"latitude": 12.5, "longitude": -7.25}  (JSON-ish dict)
+    # {"latitude": 12.5, "longitude": -7.25} — JSON objects are unordered,
+    # so both key orders are strategies in the chain
     r'"latitude"\s*:\s*(?P<lat>[-+]?\d+(?:\.\d+)?).*?"longitude"\s*:\s*(?P<lon>[-+]?\d+(?:\.\d+)?)',
+    r'"longitude"\s*:\s*(?P<lon>[-+]?\d+(?:\.\d+)?).*?"latitude"\s*:\s*(?P<lat>[-+]?\d+(?:\.\d+)?)',
     # [12.5, -7.25]  (JSON-ish list)
     r"^\s*\[\s*(?P<lat>[-+]?\d+(?:\.\d+)?)\s*,\s*(?P<lon>[-+]?\d+(?:\.\d+)?)\s*\]\s*$",
 )

@@ -886,6 +886,18 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _load_query_vectors(sf_dir: str, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(queries (n,d) float64, their vec_ids): the n lowest-id embeddings,
+    taken directly — never materializing the whole column as Python lists."""
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vec_ids = q_tbl["vec_id"].to_numpy()
+    order = np.argsort(vec_ids)[:n]
+    embs = q_tbl["embedding"].combine_chunks().take(pa.array(order)).to_pylist()
+    queries = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+    return queries, vec_ids[order]
+
+
 def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for the 3 lowest vec_ids as queries.
 
@@ -893,14 +905,9 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     matches the DuckDB list_cosine_similarity + QUALIFY oracle exactly."""
     from ..stages.ann import brute_force_topk
 
-    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vec_ids = q_tbl["vec_id"].to_numpy()
-    order = np.argsort(vec_ids)[:3]
-    queries = np.stack(
-        [np.asarray(q_tbl["embedding"].to_pylist()[i], dtype=np.float64) for i in order]
-    )
+    queries, qids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings")
-    return brute_force_topk(ds, queries, k=10, query_ids=vec_ids[order])
+    return brute_force_topk(ds, queries, k=10, query_ids=qids)
 
 
 def ann_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
@@ -910,17 +917,12 @@ def ann_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     exact ann_topk_embeddings asserted in tests."""
     from ..stages.ann import ivf_topk
 
-    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vec_ids = q_tbl["vec_id"].to_numpy()
-    order = np.argsort(vec_ids)[:3]
-    queries = np.stack(
-        [np.asarray(q_tbl["embedding"].to_pylist()[i], dtype=np.float64) for i in order]
-    )
+    queries, qids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings")
     # synthetic embeddings are near-isotropic (weak cluster structure), so
     # probe 6/16 cells: ~2.7x less compute than brute force at usable recall
     return ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=6,
-                    query_ids=vec_ids[order])
+                    query_ids=qids)
 
 
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:

@@ -97,6 +97,8 @@ def _svg_bar_chart(labels: list[str], values: list[float], *, width: int = 720,
                    bar_h: int = 18, gap: int = 6, color_fn=None) -> str:
     """Dependency-free horizontal bar chart as inline SVG (the visualizer
     analog, metrics/visualizer.py:370-413 — no matplotlib in this stack)."""
+    import html as _html
+
     vmax = max([v for v in values if v == v] + [1e-12])
     label_w = 220
     rows = []
@@ -104,6 +106,8 @@ def _svg_bar_chart(labels: list[str], values: list[float], *, width: int = 720,
         y = i * (bar_h + gap)
         w = max(1.0, (width - label_w - 80) * (v / vmax)) if v == v else 0
         color = color_fn(v) if color_fn else "#4878a8"
+        # user-defined check ids (YAML suites) may contain <, &, quotes
+        lab = _html.escape(str(lab))
         rows.append(
             f'<text x="{label_w - 8}" y="{y + bar_h - 4}" text-anchor="end" '
             f'font-size="12" font-family="monospace">{lab}</text>'
@@ -122,9 +126,12 @@ def to_html_dashboard(result: ValidationResult,
     """Self-contained HTML dashboard: headline tiles, per-check violation-rate
     bars, column-profile table (metrics/dashboard.py:9 analog; zero deps —
     inline SVG, renders in any browser)."""
+    import html as _html
+
     summary = check_summary(result)
     status = "PASS" if result.passed() else "FAIL"
     status_color = "#2e7d32" if result.passed() else "#c62828"
+    title = _html.escape(str(title))
     bars = ""
     if len(summary):
         bars = _svg_bar_chart(

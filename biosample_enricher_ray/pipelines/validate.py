@@ -316,6 +316,10 @@ def summarize_records(
 
     if n_batches == 0:
         rec = pa.table({f.name: pa.array([], f.type) for f in VIOLATIONS_SCHEMA})
+        if violations_path is not None and writer is None:
+            # the sink was promised — deliver an empty file with the schema
+            # rather than leaving downstream readers a FileNotFoundError
+            pq.write_table(rec, violations_path)
         return ValidationResult(violations=rec,
                                 matrix=pd.DataFrame(columns=PASSFAIL_SCHEMA.names))
 

@@ -38,21 +38,28 @@ from ..functions.hashing import hash64
 # ------------------------------------------------------------------ exact
 
 
-def content_hash_keys(
-    ds: ray.data.Dataset,
-    text_column: str = "text",
-    id_column: str = "doc_id",
-    hash_fn=None,
-) -> ray.data.Dataset:
-    """Key-only projection for the exact-dedup exchange: (id, __h) — the text
-    NEVER enters the shuffle (asserted by test_exact_dedup_shuffles_keys_only)."""
-    hf = hash_fn or hash64
-
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = np.asarray(hf(t[text_column]), dtype=np.uint64)
-        return pa.table({id_column: t[id_column], "__h": pa.array(h.view(np.int64))})
-
-    return ds.map_batches(add_hash, batch_format="pyarrow")
+def exact_dedup_map_payload(
+    t: pa.Table,
+    text_column: str,
+    id_column: str,
+    hf,
+    num_buckets: int,
+    shift: np.uint64,
+) -> list[np.ndarray]:
+    """What one exact-dedup map task actually ships: per-bucket int64
+    (hash, id) pairs — 16 bytes/row, NEVER the text (asserted on THIS
+    function by test_exact_dedup_shuffles_keys_only)."""
+    h = np.asarray(hf(t[text_column]), dtype=np.uint64)
+    ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = (h >> shift).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    h, ids, bucket = h[order], ids[order], bucket[order]
+    bounds = np.searchsorted(bucket, np.arange(num_buckets + 1))
+    return [
+        np.column_stack([h[bounds[b] : bounds[b + 1]].view(np.int64),
+                         ids[bounds[b] : bounds[b + 1]]])
+        for b in range(num_buckets)
+    ]
 
 
 def exact_dedup_groups(
@@ -98,17 +105,8 @@ def exact_dedup_groups(
 
     @ray.remote
     def map_block(t: pa.Table) -> list[np.ndarray]:
-        h = np.asarray(hf(t[text_column]), dtype=np.uint64)
-        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = (h >> shift).astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
-        h, ids, bucket = h[order], ids[order], bucket[order]
-        bounds = np.searchsorted(bucket, np.arange(num_buckets + 1))
-        return [
-            np.column_stack([h[bounds[b] : bounds[b + 1]].view(np.int64),
-                             ids[bounds[b] : bounds[b + 1]]])
-            for b in range(num_buckets)
-        ]
+        return exact_dedup_map_payload(t, text_column, id_column, hf,
+                                       num_buckets, shift)
 
     @ray.remote(num_returns=2)
     def reduce_bucket(*parts: np.ndarray):
@@ -133,8 +131,6 @@ def exact_dedup_groups(
 
     map_refs = [map_block.options(num_returns=num_buckets).remote(b)
                 for b in block_refs]
-    if num_buckets == 1:
-        map_refs = [[r] for r in map_refs]
     reduce_refs = [
         reduce_bucket.remote(*[m[b] for m in map_refs])
         for b in range(num_buckets)
@@ -173,7 +169,12 @@ def exact_dedup_groups(
                 }
             )
 
-    cand = ds.map_batches(CandidateFilter, batch_format="pyarrow", concurrency=2)
+    cand = ds.map_batches(
+        CandidateFilter, batch_format="pyarrow",
+        # the candidate pass re-hashes every block's text — size the pool to
+        # the session, not a hardcoded 2 (16x underparallelized at 32 CPUs)
+        concurrency=max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+    )
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: SQL GROUP BY keeps the NULL-content group
@@ -646,8 +647,6 @@ def minhash_lsh_candidates(
 
     map_refs = [map_block.options(num_returns=num_buckets).remote(b)
                 for b in block_refs]
-    if num_buckets == 1:
-        map_refs = [[r] for r in map_refs]
     pair_parts = ray.get(
         [reduce_bucket.remote(*[m[b] for m in map_refs])
          for b in range(num_buckets)]
@@ -1024,8 +1023,6 @@ def simhash_near_dups(
 
     map_refs = [map_block.options(num_returns=num_buckets).remote(b)
                 for b in block_refs]
-    if num_buckets == 1:
-        map_refs = [[r] for r in map_refs]
     pair_parts = ray.get(
         [reduce_bucket.remote(*[m[b] for m in map_refs])
          for b in range(num_buckets)]

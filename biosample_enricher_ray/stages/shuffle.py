@@ -257,10 +257,14 @@ def sampling_variance(
                              "n": pa.array([len(col)], pa.int64())})
 
         agg = sample.map_batches(partial, batch_format="pyarrow").sum(["s", "n"])
-        n = int(agg["sum(n)"]) or 1
-        rows.append({"sample_id": i, "n": n, "mean": agg["sum(s)"] / n})
+        # Dataset.sum returns None when a sample draws zero rows
+        n = int(agg["sum(n)"]) if agg else 0
+        rows.append({"sample_id": i, "n": n,
+                     "mean": (agg["sum(s)"] / n) if n else float("nan")})
     out = pd.DataFrame(rows)
-    out["across_sample_variance"] = float(np.var(out["mean"].to_numpy()))
+    means = out["mean"].to_numpy()
+    means = means[np.isfinite(means)]
+    out["across_sample_variance"] = float(np.var(means)) if means.size else float("nan")
     return out
 
 

@@ -52,6 +52,30 @@ from ..pipelines.validate import (
 
 COMMIT_SUFFIX = ".commit.json"
 
+
+def suite_fingerprint(checks: list[RowCheck]) -> str:
+    """Stable digest of the COMPILED suite so resume can detect edits to a
+    user YAML suite, not just bumps of the package SUITE_VERSION constant.
+
+    Serializes each check's class plus its dataclass fields (reprs), skipping
+    run-scoped broadcast handles (``dim_ref`` is a fresh ObjectRef every run;
+    ``_value_set`` is its resolution). NOTE: a referential dim whose CONTENT
+    changes behind the same path is therefore not fingerprinted — bump the
+    suite's check_id or SUITE_VERSION when a dim changes meaningfully.
+    """
+    import dataclasses
+    import hashlib
+
+    parts = [SUITE_VERSION]
+    for c in checks:
+        fields = []
+        for f in dataclasses.fields(c):
+            if f.name in ("dim_ref", "_value_set"):
+                continue
+            fields.append(f"{f.name}={getattr(c, f.name)!r}")
+        parts.append(f"{type(c).__name__}({','.join(fields)})")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
 # Dataset *construction* (datasource metadata resolution) is serialized across
 # the partition threads: ray's path resolution probes optional fsspec modules,
 # and concurrent first-imports of a missing optional dep can surface a partial
@@ -133,7 +157,7 @@ def run_partition(
     commit = {
         "partition_id": plan.partition_id,
         "input_fragment_ids": plan.fragments,
-        "suite_version": SUITE_VERSION,
+        "suite_version": suite_fingerprint(checks),
         "n_rows": result.n_rows,
         "n_violations": result.total_violations,
         "wall_sec": round(time.time() - start, 3),
@@ -181,6 +205,7 @@ def run_validation(
     """
     os.makedirs(out_dir, exist_ok=True)
     plans = plan_partitions(input_paths, files_per_partition)
+    fp = suite_fingerprint(checks)
     commits = committed_partitions(out_dir) if resume else {}
     # A commit is reusable only if it was produced from the SAME input
     # fragments under the SAME suite version: partition ids are positional
@@ -192,7 +217,7 @@ def run_validation(
         for p in plans
         if p.partition_id in commits
         and commits[p.partition_id].get("input_fragment_ids") == p.fragments
-        and commits[p.partition_id].get("suite_version") == SUITE_VERSION
+        and commits[p.partition_id].get("suite_version") == fp
     }
     todo = [p for p in plans if p.partition_id not in done]
 
@@ -247,7 +272,7 @@ def run_validation(
         result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
 
     manifest = {
-        "suite_version": SUITE_VERSION,
+        "suite_version": fp,
         "n_partitions": len(plans),
         "resumed_partitions": sorted(done),
         "executed_partitions": sorted(p.partition_id for p in todo),

@@ -18,9 +18,6 @@ def ray_session():
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
-    from biosample_enricher_ray.cli import _quiet_schema_hash_warning
-
-    _quiet_schema_hash_warning()
     yield
     ray.shutdown()
 

@@ -90,3 +90,34 @@ def test_stale_commit_reexecutes(tmp_path, corpus_dir):
     assert manifest2["executed_partitions"] == [
         "part-00000", "part-00001", "part-00002"]
     assert result.n_rows == 3000
+
+
+def test_suite_edit_invalidates_commits(tmp_path, corpus_dir):
+    """Editing the check suite (e.g. a YAML threshold) must re-execute
+    committed partitions — the commit records the compiled-suite
+    fingerprint, not just the package constant."""
+    from biosample_enricher_ray.stages.checks import LengthRangeCheck
+
+    out = str(tmp_path / "suite_edit")
+    paths = _paths(corpus_dir)
+    suite_a = [LengthRangeCheck(column="text", lo=1, hi=50_000_000)]
+    run_validation(paths, out, suite_a, None, files_per_partition=2,
+                   max_concurrent_partitions=2, batch_size=512)
+    m1 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert len(m1["executed_partitions"]) == 2
+
+    # tightened threshold: same check_id, different params -> all stale
+    suite_b = [LengthRangeCheck(column="text", lo=1, hi=100)]
+    result = run_validation(paths, out, suite_b, None, files_per_partition=2,
+                            max_concurrent_partitions=2, batch_size=512)
+    m2 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert m2["resumed_partitions"] == []
+    assert len(m2["executed_partitions"]) == 2
+    by = result.matrix.groupby("check_id")["n_violations"].sum()
+    assert by["len_range:text"] > 0  # the NEW suite's verdicts, not stale ones
+
+    # unchanged suite resumes everything
+    run_validation(paths, out, suite_b, None, files_per_partition=2,
+                   max_concurrent_partitions=2, batch_size=512)
+    m3 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert m3["executed_partitions"] == []

@@ -215,15 +215,23 @@ def test_token_hashes_handle_sliced_arrays():
 
 
 def test_exact_dedup_shuffles_keys_only(sf001_dir):
-    """The exact-dedup exchange must move (id, hash) only — never text."""
-    import ray.data
+    """The exact-dedup exchange must move int64 (hash, id) pairs only —
+    never text. Asserted on the REAL map-task payload builder."""
+    import pyarrow.parquet as pq
 
-    from biosample_enricher_ray.stages.dedup import content_hash_keys
+    from biosample_enricher_ray.functions.hashing import hash64
+    from biosample_enricher_ray.stages.dedup import exact_dedup_map_payload
 
-    ds = ray.data.read_parquet(f"{sf001_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    keys = content_hash_keys(ds)
-    assert keys.schema().names == ["doc_id", "__h"]
+    t = pq.read_table(f"{sf001_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    parts = exact_dedup_map_payload(t, "text", "doc_id", hash64,
+                                    num_buckets=8, shift=np.uint64(61))
+    assert len(parts) == 8
+    total = 0
+    for p in parts:
+        assert p.dtype == np.int64 and p.ndim == 2 and p.shape[1] == 2
+        total += len(p)
+    assert total == len(t)  # every row shipped, 16 bytes each
 
 
 def test_exact_dedup_survives_hash_collisions(ray_session):
