@@ -66,7 +66,9 @@ def test_rows_only_queries_run(name, sf01_dir):
     out = _to_pandas(QUERIES[name](sf01_dir))
     assert out is not None
     # deterministic across invocations
-    if name in ("simhash_documents", "fingerprint_documents", "hll_distinct_documents"):
+    if name in ("simhash_documents", "fingerprint_documents", "hll_distinct_documents",
+                "minhash_pairs_documents", "dedup_clusters_documents",
+                "ann_ivf_topk_embeddings"):
         again = _to_pandas(QUERIES[name](sf01_dir))
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), again.reset_index(drop=True)
