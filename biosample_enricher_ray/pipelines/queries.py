@@ -548,20 +548,36 @@ def union_event_halves(sf_dir: str) -> pd.DataFrame:
 
 
 def part_stats_by_brand(sf_dir: str) -> pd.DataFrame:
-    """Grouped stats over part (A1-matrix shape on a second fact table)."""
+    """Grouped stats over part (A1-matrix shape on a second fact table).
+    p_retailprice is exactly 2-dp, so it sums as integer CENTS (the
+    supplier_acctbal pattern): per-group sums are exact/order-independent
+    and the 3-dp avg uses floor-half-up — identical IEEE ops as the oracle
+    (plain float Sum + np.round flipped one ulp at a .5 half-boundary,
+    Brand#14, in round 2)."""
     ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"p_brand": t["p_brand"], "p_size": t["p_size"],
+                         "cents": pa.array(cents)})
+
     out = (
-        ds.groupby("p_brand")
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("p_brand")
         .aggregate(
             Count(alias_name="n"),
             Min("p_size", alias_name="min_size"),
             Max("p_size", alias_name="max_size"),
-            Sum("p_retailprice", alias_name="_sum_price"),
+            Sum("cents", alias_name="_sum_c"),
         )
         .to_pandas()
     )
-    out["avg_retailprice"] = (out["_sum_price"] / out["n"]).round(3)
-    out = out.drop(columns=["_sum_price"])
+    out["avg_retailprice"] = np.floor(
+        out["_sum_c"] * 10.0 / out["n"] + 0.5
+    ) / 1000.0
+    out = out.drop(columns=["_sum_c"])
     for c in ("n", "min_size", "max_size"):
         out[c] = out[c].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
@@ -636,8 +652,11 @@ def supplier_acctbal_by_nation(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
 
     def to_cents(t: pa.Table) -> pa.Table:
-        cents = np.rint(
-            t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        # floor(x*100 + 0.5), not np.rint: rint is round-half-to-even while
+        # the oracle's quantizer is half-up — they agree on exact-2dp input
+        # but diverge on 3+dp values whose *100 lands on a representable .5
+        cents = np.floor(
+            t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
         return pa.table({"s_nationkey": t["s_nationkey"],
                          "cents": pa.array(cents)})
@@ -1229,9 +1248,12 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL SELECT event_id, value FROM events WHERE event_id % 2 = 1)"
     ),
     "part_stats_by_brand": (
+        "WITH c AS (SELECT p_brand, p_size, "
+        "CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part) "
         "SELECT p_brand, COUNT(*) AS n, CAST(MIN(p_size) AS BIGINT) AS min_size, "
-        "CAST(MAX(p_size) AS BIGINT) AS max_size, ROUND(SUM(p_retailprice) / COUNT(*), 3) "
-        "AS avg_retailprice FROM part GROUP BY p_brand ORDER BY p_brand"
+        "CAST(MAX(p_size) AS BIGINT) AS max_size, "
+        "FLOOR(CAST(SUM(cents) AS BIGINT) * 10.0 / COUNT(*) + 0.5) / 1000.0 "
+        "AS avg_retailprice FROM c GROUP BY p_brand ORDER BY p_brand"
     ),
     "events_props_extract": (
         "SELECT event_type, COUNT(*) AS n, "
@@ -1337,7 +1359,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "supplier_acctbal_by_nation": (
         "WITH c AS (SELECT s_nationkey, "
-        "CAST(ROUND(s_acctbal * 100.0, 0) AS BIGINT) AS cents FROM supplier) "
+        "CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents FROM supplier) "
         "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
         "COUNT(*) AS n_suppliers, "
         "MIN(cents) / 100.0 AS min_bal, MAX(cents) / 100.0 AS max_bal, "
