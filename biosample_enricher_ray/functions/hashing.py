@@ -20,15 +20,167 @@ import pyarrow.compute as pc
 
 _HASH_KEY = 0x9E3779B97F4A7C15  # fixed key → deterministic across processes/runs
 
+# Bumped whenever hash64's VALUES change (not just its speed): checkpointed
+# HLL sketch registers embed these hashes, so resume must not merge sketches
+# produced by a different hash. v2 = buffer-level polynomial string hashing.
+HASH_VERSION = 2
+
+
+def _utf8_bytes_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a string/binary column's data buffer + byte offsets.
+
+    Nulls/empties become zero-length segments. Works for string,
+    large_string, binary and large_binary (the no-pandas-round-trips rule,
+    SURVEY.md §7.4)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
+                            count=len(col) + 1, offset=col.offset * np.dtype(off_dtype).itemsize)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    offsets = offsets.astype(np.int64)
+    # Rebase to the slice: a sliced array's offsets point into the PARENT
+    # data buffer (offsets[0] > 0), and the buffer may extend past the last
+    # doc. Without rebasing, downstream scans crash (negative doc_of_token)
+    # or silently hash trailing sliced-off bytes into the last token.
+    data = data[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    return data, offsets
+
+
+_POLY_B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
+_POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer (vectorized, bijective)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    with np.errstate(over="ignore"):
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    with np.errstate(over="ignore"):
+        h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grow-on-demand cached (B^i, B^-i) tables — input-independent, so each
+    worker process amortizes them across every batch it ever sees."""
+    pows = _POW_CACHE.get("pows")
+    if pows is None or pows.size < n:
+        size = max(n, 1 << 20)
+        with np.errstate(over="ignore"):
+            pows = np.empty(size, dtype=np.uint64)
+            pows[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _POLY_B, dtype=np.uint64)[1:], out=pows[1:]
+            )
+            inv = np.empty(size, dtype=np.uint64)
+            inv[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _POLY_B_INV, dtype=np.uint64)[1:], out=inv[1:]
+            )
+        _POW_CACHE["pows"] = pows
+        _POW_CACHE["inv"] = inv
+    return _POW_CACHE["pows"], _POW_CACHE["inv"]
+
+
+def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Hash byte segments [starts[i], ends[i]) of ``data`` without creating
+    Python objects: prefix polynomial sums mod 2^64 with an invertible base,
+    so H(s..e) = (P[e] - P[s]) · B^{-s}, finalized with a 64-bit mixer.
+    One O(n_bytes) pass regardless of segment count."""
+    n = data.size
+    if n == 0:
+        return np.zeros(len(starts), dtype=np.uint64)
+    pows, inv_pows = _pow_tables(n)
+    with np.errstate(over="ignore"):
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows[:n]
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+        raw = (prefix[ends] - prefix[starts]) * inv_pows[np.minimum(starts, n - 1)]
+    return _mix64(raw)
+
+
+# Pinned hash for empty strings. hash_segments gives mix64(0) == 0 for a
+# zero-length segment, which would collide with the null sentinel (0) — so
+# the string path rewrites empty rows to this nonzero constant, keeping
+# empty != null while staying batch-composition-independent.
+_EMPTY_SEGMENT_HASH = np.uint64(0xE2D67F7D4A6B93C5)
+
+_HASH_WINDOW_BYTES = 1 << 20
+
+
+def _hash_rows_windowed(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """hash_segments over whole rows, processed in ~1 MB byte-windows.
+
+    The hash is content-only (positions cancel via B^-s), so windowing does
+    not change values; it bounds the pow tables and the prefix/terms
+    intermediates at ~window size instead of O(batch bytes) — a 16k-row
+    batch of 3 KB texts would otherwise build 50M-entry pow tables per
+    worker, and the intermediates would thrash the shared LLC across a
+    24-actor pool (the round-2 fingerprint sub-chunking lesson)."""
+    n = len(offsets) - 1
+    if data.size <= _HASH_WINDOW_BYTES:
+        return hash_segments(data, offsets[:-1], offsets[1:])
+    out = np.empty(n, np.uint64)
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(offsets, offsets[i] + _HASH_WINDOW_BYTES,
+                                side="right")) - 1
+        j = min(max(j, i + 1), n)  # a single over-long row gets its own window
+        s0 = offsets[i]
+        out[i:j] = hash_segments(
+            data[s0 : offsets[j]], offsets[i:j] - s0, offsets[i + 1 : j + 1] - s0
+        )
+        i = j
+    return out
+
 
 def hash64(values: pa.Array | pa.ChunkedArray | np.ndarray | list) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a column → uint64 ndarray.
 
-    Uses pandas' cython string/object hasher (siphash-based) with a fixed key
-    so results are stable across workers — required for shuffle-key salting
-    and HLL sketches merged across partitions. Nulls hash to 0.
+    String/binary Arrow columns are hashed straight off the flat data buffer
+    via ``hash_segments`` (prefix polynomial + mix64) — zero Python-object
+    boxing in the exact-dedup / uniqueness / HLL hot paths (the round-2
+    object-array path paid an object per row). Other dtypes use pandas'
+    cython hasher. All paths are process-stable (fixed constants) — required
+    for shuffle-key bucketing and HLL sketches merged across partitions.
+    Nulls hash to 0.
     """
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        t = values.type
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            chunks = values.chunks if isinstance(values, pa.ChunkedArray) else [values]
+            parts: list[np.ndarray] = []
+            for ch in chunks:
+                if len(ch) == 0:
+                    continue
+                data, offsets = _utf8_bytes_and_offsets(ch)
+                if data.size == 0:
+                    h = np.full(len(ch), _EMPTY_SEGMENT_HASH, np.uint64)
+                else:
+                    h = _hash_rows_windowed(data, offsets)
+                    empty = np.diff(offsets) == 0
+                    if empty.any():
+                        h[empty] = _EMPTY_SEGMENT_HASH
+                if ch.null_count:
+                    null = np.asarray(
+                        pc.is_null(ch).to_numpy(zero_copy_only=False), dtype=bool
+                    )
+                    h[null] = 0
+                parts.append(h)
+            if not parts:
+                return np.empty(0, np.uint64)
+            return np.concatenate(parts) if len(parts) > 1 else parts[0]
         arr = values.to_numpy(zero_copy_only=False)
     else:
         arr = np.asarray(values)

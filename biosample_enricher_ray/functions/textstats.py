@@ -185,7 +185,7 @@ def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray, window: int = 8) -> p
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    from ..stages.dedup import _utf8_bytes_and_offsets
+    from .hashing import _utf8_bytes_and_offsets
 
     n_docs = len(texts)
     out = np.zeros(n_docs, dtype=np.uint64)

@@ -50,6 +50,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pool() -> int:
+    """Actor-pool size from session resources (validate.py's sizing rule):
+    all CPUs minus 2 kept free for read/shuffle tasks. The round-2 hardcoded
+    ``concurrency=2`` pools ran 2 actors while 30 cores idled."""
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+
 # --------------------------------------------------------------------------
 # Validation-engine queries (checks recast over the shared testdata)
 # --------------------------------------------------------------------------
@@ -185,7 +192,7 @@ def referential_events_customers(sf_dir: str) -> pd.DataFrame:
                  "n_rows": pa.array([len(t)], pa.int64())}
             )
 
-    agg = ds.map_batches(OrphanCounter, batch_format="pyarrow", concurrency=2).sum(
+    agg = ds.map_batches(OrphanCounter, batch_format="pyarrow", concurrency=_pool()).sum(
         ["n_orphans", "n_rows"]
     )
     return pd.DataFrame(
@@ -394,7 +401,7 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _read(sf_dir, "customer", columns=["c_nationkey"])
-        .map_batches(RegionTagger, batch_format="pyarrow", concurrency=2)
+        .map_batches(RegionTagger, batch_format="pyarrow", concurrency=_pool())
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
         .to_pandas()
@@ -511,7 +518,7 @@ def lineitem_orderdate_alignment(sf_dir: str) -> pd.DataFrame:
             )
 
     agg = ds.map_batches(AlignmentChecker, batch_format="pyarrow",
-                         concurrency=2).sum(["n_too_early", "n_too_late", "n_rows"])
+                         concurrency=_pool()).sum(["n_too_early", "n_too_late", "n_rows"])
     return pd.DataFrame(
         {
             "n_too_early": [int(agg["sum(n_too_early)"])],
@@ -767,7 +774,7 @@ def cosine_scores_embeddings(sf_dir: str) -> pd.DataFrame:
             )
 
     return (
-        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=_pool())
         .to_pandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
@@ -896,7 +903,7 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
     out = (
         ds.map_batches(
             SimHasher, fn_constructor_kwargs=dict(), batch_format="pyarrow",
-            concurrency=2,
+            concurrency=_pool(),
         )
         .to_pandas()[["doc_id", "simhash"]]
         .sort_values("doc_id")

@@ -190,6 +190,23 @@ class EnumCheck(RowCheck):
         return _as_bool_array(pc.and_(pc.invert(ok), pc.is_valid(batch[self.column])))
 
 
+def dim_content_digest(dim: pa.Array | pa.ChunkedArray) -> str:
+    """Content digest of a dimension array (buffer bytes + length) — stored
+    in ``ReferentialCheck.dim_digest`` so the resume fingerprint detects dim
+    CONTENT edits (inline YAML ``values`` or a changed parquet dim), not just
+    spec-shape edits."""
+    import hashlib
+
+    if isinstance(dim, pa.ChunkedArray):
+        dim = dim.combine_chunks()
+    h = hashlib.sha256()
+    h.update(str(len(dim)).encode())
+    for buf in dim.buffers():
+        if buf is not None:
+            h.update(memoryview(buf))
+    return h.hexdigest()[:16]
+
+
 @dataclass
 class ReferentialCheck(RowCheck):
     """Key ∈ dimension table — broadcast semi-join complement.
@@ -201,16 +218,25 @@ class ReferentialCheck(RowCheck):
     ``dim_ref`` is a ``ray.ObjectRef`` to a ``pa.Array`` of valid keys,
     ``ray.put`` once on the driver and resolved per actor in ``compile`` —
     broadcast, never re-shipped per batch. ``key_fn`` optionally derives the
-    key column (e.g. url → domain).
+    key column (e.g. url → domain). ``dim_digest`` fingerprints the dim's
+    CONTENT for checkpoint resume (auto-computed when ``dim_ref`` is a
+    concrete array; the suite compiler sets it before ``ray.put``; callers
+    who hand in a bare ObjectRef and later edit the dim behind the same
+    spec should set it themselves or bump SUITE_VERSION).
     """
 
     dim_ref: Any = None  # ray.ObjectRef | pa.Array (tests)
     key_fn: str | None = None  # None | "domain"
+    dim_digest: str = ""
     _value_set: pa.Array | None = field(default=None, repr=False)
 
     def __post_init__(self):
         self.check_id = self.check_id or f"referential:{self.column}"
         self.expected = self.expected or "key present in dimension table"
+        if not self.dim_digest and isinstance(
+            self.dim_ref, (pa.Array, pa.ChunkedArray)
+        ):
+            self.dim_digest = dim_content_digest(self.dim_ref)
 
     def compile(self, context: dict[str, Any]) -> None:
         import ray

@@ -33,7 +33,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import hash64
+from ..functions.hashing import (
+    _mix64,
+    _utf8_bytes_and_offsets,
+    hash64,
+    hash_segments,
+)
 
 # ------------------------------------------------------------------ exact
 
@@ -198,88 +203,6 @@ def exact_dedup(
 
 
 # ----------------------------------------------------------------- MinHash
-
-
-def _utf8_bytes_and_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy view of a string column's UTF-8 data buffer + byte offsets.
-
-    Nulls/empties become zero-length segments. Works for string and
-    large_string (the no-pandas-round-trips rule, SURVEY.md §7.4)."""
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if pa.types.is_large_string(col.type):
-        off_dtype = np.int64
-    else:
-        off_dtype = np.int32
-    buffers = col.buffers()
-    offsets = np.frombuffer(buffers[1], dtype=off_dtype,
-                            count=len(col) + 1, offset=col.offset * np.dtype(off_dtype).itemsize)
-    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
-    offsets = offsets.astype(np.int64)
-    # Rebase to the slice: a sliced array's offsets point into the PARENT
-    # data buffer (offsets[0] > 0), and the buffer may extend past the last
-    # doc. Without rebasing, downstream scans crash (negative doc_of_token)
-    # or silently hash trailing sliced-off bytes into the last token.
-    data = data[offsets[0] : offsets[-1]]
-    offsets = offsets - offsets[0]
-    return data, offsets
-
-
-_POLY_B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
-_POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
-
-
-def _mix64(h: np.ndarray) -> np.ndarray:
-    """splitmix64-style finalizer (vectorized, bijective)."""
-    h = h.copy()
-    h ^= h >> np.uint64(30)
-    with np.errstate(over="ignore"):
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27)
-    with np.errstate(over="ignore"):
-        h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
-    return h
-
-
-_POW_CACHE: dict[str, np.ndarray] = {}
-
-
-def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Grow-on-demand cached (B^i, B^-i) tables — input-independent, so each
-    worker process amortizes them across every batch it ever sees."""
-    pows = _POW_CACHE.get("pows")
-    if pows is None or pows.size < n:
-        size = max(n, 1 << 20)
-        with np.errstate(over="ignore"):
-            pows = np.empty(size, dtype=np.uint64)
-            pows[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _POLY_B, dtype=np.uint64)[1:], out=pows[1:]
-            )
-            inv = np.empty(size, dtype=np.uint64)
-            inv[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _POLY_B_INV, dtype=np.uint64)[1:], out=inv[1:]
-            )
-        _POW_CACHE["pows"] = pows
-        _POW_CACHE["inv"] = inv
-    return _POW_CACHE["pows"], _POW_CACHE["inv"]
-
-
-def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Hash byte segments [starts[i], ends[i]) of ``data`` without creating
-    Python objects: prefix polynomial sums mod 2^64 with an invertible base,
-    so H(s..e) = (P[e] - P[s]) · B^{-s}, finalized with a 64-bit mixer.
-    One O(n_bytes) pass regardless of segment count."""
-    n = data.size
-    if n == 0:
-        return np.zeros(len(starts), dtype=np.uint64)
-    pows, inv_pows = _pow_tables(n)
-    with np.errstate(over="ignore"):
-        terms = (data.astype(np.uint64) + np.uint64(1)) * pows[:n]
-        prefix = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
-        raw = (prefix[ends] - prefix[starts]) * inv_pows[np.minimum(starts, n - 1)]
-    return _mix64(raw)
 
 
 def _token_hashes(

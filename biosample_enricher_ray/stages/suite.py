@@ -72,10 +72,16 @@ def _parse_bound(value: Any, dtype: str | None) -> Any:
     return value
 
 
-def _dim_ref(entry: dict) -> Any:
+def _dim_ref(entry: dict) -> tuple[Any, str]:
     """Resolve a referential dim: inline values, or a parquet column —
-    ``ray.put`` once so actors resolve it via broadcast, never per batch."""
+    ``ray.put`` once so actors resolve it via broadcast, never per batch.
+    Returns (ref-or-array, content digest): the digest goes into the
+    fingerprintable ``dim_digest`` field so editing e.g. ``values: [en, de]``
+    in a YAML suite invalidates checkpoint resume (the ObjectRef itself is
+    run-scoped and excluded from the fingerprint)."""
     import ray
+
+    from .checks import dim_content_digest
 
     if "values" in entry:
         dim = pa.array([str(v) for v in entry["values"]], pa.string())
@@ -86,7 +92,8 @@ def _dim_ref(entry: dict) -> Any:
         dim = pq.read_table(entry["parquet"], columns=[key])[key].combine_chunks()
     else:
         raise ValueError("referential check needs 'values' or 'parquet'")
-    return ray.put(dim) if ray.is_initialized() else dim
+    digest = dim_content_digest(dim)
+    return (ray.put(dim) if ray.is_initialized() else dim), digest
 
 
 _COMMON = ("check_id", "expected")
@@ -125,7 +132,9 @@ def compile_check(entry: dict) -> RowCheck:
         return CrossFieldCheck(if_column=entry["if_column"],
                                then_column=entry["then_column"], **_common(entry))
     if kind == "referential":
-        return ReferentialCheck(column=entry["column"], dim_ref=_dim_ref(entry),
+        ref, digest = _dim_ref(entry)
+        return ReferentialCheck(column=entry["column"], dim_ref=ref,
+                                dim_digest=digest,
                                 key_fn=entry.get("key_fn"), **_common(entry))
     if kind == "schema":
         fields = [pa.field(n, pa.type_for_alias(t) if isinstance(t, str) else t)

@@ -59,14 +59,19 @@ def suite_fingerprint(checks: list[RowCheck]) -> str:
 
     Serializes each check's class plus its dataclass fields (reprs), skipping
     run-scoped broadcast handles (``dim_ref`` is a fresh ObjectRef every run;
-    ``_value_set`` is its resolution). NOTE: a referential dim whose CONTENT
-    changes behind the same path is therefore not fingerprinted — bump the
-    suite's check_id or SUITE_VERSION when a dim changes meaningfully.
+    ``_value_set`` is its resolution). Dim CONTENT is covered via the
+    fingerprintable ``dim_digest`` field (suite.py computes it at compile
+    time), so editing inline ``values`` or a parquet dim invalidates resume.
+    HASH_VERSION ties checkpointed sketch state (HLL registers depend on
+    hash64's exact values) to the engine's hash implementation — bumping it
+    forces re-execution instead of merging incompatible sketches.
     """
     import dataclasses
     import hashlib
 
-    parts = [SUITE_VERSION]
+    from ..functions.hashing import HASH_VERSION
+
+    parts = [SUITE_VERSION, f"hashv={HASH_VERSION}"]
     for c in checks:
         fields = []
         for f in dataclasses.fields(c):
