@@ -163,8 +163,9 @@ def uniqueness_doc_id(sf_dir: str) -> pd.DataFrame:
 def exact_dedup_documents(sf_dir: str) -> pa.Table:
     """Exact content dedup: representative min(doc_id) + multiplicity per
     distinct text (§2.8; adapters.py:330-337 promoted to corpus level)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = exact_dedup_groups(ds).to_pandas()
+    # fragment-paths input = the scale path: pruned per-fragment reads,
+    # corpus bytes never pinned in the object store (dedup.py source note)
+    out = exact_dedup_groups([f"{sf_dir}/documents.parquet"]).to_pandas()
     return out.sort_values("keep_id").reset_index(drop=True)
 
 
@@ -880,8 +881,9 @@ def fingerprint_documents(sf_dir: str) -> pd.DataFrame:
 
 def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-duplicate pairs over documents."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.7).to_pandas()
+    pairs = minhash_lsh_candidates(
+        [f"{sf_dir}/documents.parquet"], jaccard_threshold=0.7
+    ).to_pandas()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -891,8 +893,9 @@ def dedup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     (adapters.py:330-337) as a first-class corpus operator."""
     from ..stages.dedup import minhash_dedup_clusters
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_clusters(ds, jaccard_threshold=0.7)
+    return minhash_dedup_clusters(
+        [f"{sf_dir}/documents.parquet"], jaccard_threshold=0.7
+    )
 
 
 def simhash_documents(sf_dir: str) -> pd.DataFrame:

@@ -210,9 +210,19 @@ def shuffle_semi_join_complement(
         present = pc.is_in(fact, value_set=dim)
         return int(pc.sum(pc.cast(pc.invert(present), pa.int64())).as_py() or 0)
 
-    fact_refs = fact_ds.to_arrow_refs()
-    dim_refs = dim_ds.to_arrow_refs()
-    n_rows = fact_ds.count()
+    # project to the join key BEFORE materializing refs: only 8-16 B/row key
+    # blocks are pinned, never fact/dim payload columns (round 2 pinned the
+    # whole fact side; at 100 TB that is corpus materialization)
+    fact_refs = fact_ds.select_columns([fact_key]).to_arrow_refs()
+    dim_refs = dim_ds.select_columns([dim_key]).to_arrow_refs()
+
+    @ray.remote
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    # total fact rows (incl. null keys) from the already-pinned key blocks —
+    # no second execution of the fact pipeline
+    n_rows = sum(ray.get([block_len.remote(b) for b in fact_refs]))
     fact_maps = [map_side.options(num_returns=num_buckets).remote(b, fact_key)
                  for b in fact_refs]
     dim_maps = [map_side.options(num_returns=num_buckets).remote(b, dim_key)
