@@ -679,28 +679,76 @@ def minhash_lsh_candidates(
         allp = np.concatenate(out)
         return np.unique(allp, axis=0)  # in-bucket dedup before the gather
 
-    pair_parts = ray.get(
-        [reduce_bucket.remote(*[m[b] for m in map_refs])
-         for b in range(num_buckets)]
-    )
-    allp = np.concatenate([p for p in pair_parts if len(p)]) if pair_parts else None
-    if allp is None or len(allp) == 0:
-        return ray.data.from_pandas(_empty_pairs())
-    # cross-band duplicates only (≤ bands× per pair); the pair list is the
-    # op's output, so this gather is bounded by output size
-    allp = np.unique(allp, axis=0)
+    raw_pair_refs = [
+        reduce_bucket.remote(*[m[b] for m in map_refs])
+        for b in range(num_buckets)
+    ]
 
-    sig_ids, sig_mat = _signatures_for_ids(
-        src, np.unique(allp.reshape(-1)), mh_kwargs
-    )
-    pdf = pd.DataFrame({"id_a": allp[:, 0], "id_b": allp[:, 1]})
-    # searchsorted lookup into the sorted (ids, sig-matrix) pair — no
-    # per-id Python dict (round-2 weak spot)
-    sa = sig_mat[np.searchsorted(sig_ids, allp[:, 0])]
-    sb = sig_mat[np.searchsorted(sig_ids, allp[:, 1])]
-    pdf["est_jaccard"] = (sa == sb).mean(axis=1)
-    pdf = pdf[pdf["est_jaccard"] >= jaccard_threshold].reset_index(drop=True)
-    return ray.data.from_pandas(pdf if len(pdf) else _empty_pairs())
+    # Cross-band pair dedup WITHOUT a driver gather (round-2 weak spot #3):
+    # the same (a, b) pair surfaces from different bands in DIFFERENT
+    # band-key buckets, so in-bucket unique is not enough — re-partition
+    # pairs by a pair hash and unique per bucket. The edge list never lands
+    # in one process.
+    @ray.remote
+    def repart_pairs(part: np.ndarray) -> list[np.ndarray]:
+        if len(part) == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        with np.errstate(over="ignore"):
+            k = _mix64(
+                part[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + part[:, 1].astype(np.uint64)
+            )
+        return _split_by_bucket(k, part, num_buckets, shift)
+
+    repart_refs = [repart_pairs.options(num_returns=num_buckets).remote(r)
+                   for r in raw_pair_refs]
+
+    @ray.remote
+    def unique_pairs(*parts: np.ndarray) -> np.ndarray:
+        kept = [p for p in parts if len(p)]
+        if not kept:
+            return np.empty((0, 2), np.int64)
+        return np.unique(np.concatenate(kept), axis=0)
+
+    pair_refs = [unique_pairs.remote(*[r[b] for r in repart_refs])
+                 for b in range(num_buckets)]
+
+    @ray.remote
+    def part_ids(p: np.ndarray) -> np.ndarray:
+        return np.unique(p.reshape(-1)) if len(p) else np.empty(0, np.int64)
+
+    id_parts = ray.get([part_ids.remote(p) for p in pair_refs])
+    # candidate-id set: O(docs-in-any-candidate-pair), the op's output order
+    cand_ids = (np.unique(np.concatenate(id_parts))
+                if any(len(p) for p in id_parts) else np.empty(0, np.int64))
+    if cand_ids.size == 0:
+        return ray.data.from_pandas(_empty_pairs())
+
+    # signatures for candidate ids only (candidate-only re-scan), broadcast
+    # once; each pair bucket scores + threshold-filters its own slice
+    sig_ids, sig_mat = _signatures_for_ids(src, cand_ids, mh_kwargs)
+    sig_ids_ref, sig_mat_ref = ray.put(sig_ids), ray.put(sig_mat)
+
+    @ray.remote
+    def score_pairs(p: np.ndarray) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        if len(p) == 0:
+            return empty
+        ids = ray.get(sig_ids_ref)
+        mat = ray.get(sig_mat_ref)
+        sa = mat[np.searchsorted(ids, p[:, 0])]
+        sb = mat[np.searchsorted(ids, p[:, 1])]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        if not keep.any():
+            return empty
+        return pa.table({"id_a": pa.array(p[keep, 0]),
+                         "id_b": pa.array(p[keep, 1]),
+                         "est_jaccard": pa.array(est[keep])})
+
+    return ray.data.from_arrow_refs([score_pairs.remote(p) for p in pair_refs])
 
 
 def _signatures_for_ids(
@@ -767,6 +815,194 @@ def _signatures_for_ids(
     return all_ids[order], all_sigs[order]
 
 
+# ------------------------------------------------- connected components
+
+
+def _node_buckets(ids_i64: np.ndarray, shift: np.uint64) -> np.ndarray:
+    """Owner bucket per node id (hash-based for balance)."""
+    return _mix64(ids_i64.astype(np.uint64))
+
+
+def union_find_labels(edges: np.ndarray) -> dict[int, int]:
+    """Driver-side union-find with path halving → {node: min-id label}.
+    Linear in edges; the small-input path of connected components."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def connected_components_min_label(
+    edge_parts: list,
+    *,
+    num_buckets: int | None = None,
+    max_rounds: int = 100,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed connected components over a partitioned edge list →
+    (nodes, labels), label = min node id in the component.
+
+    Hash-partitioned min-label propagation with pointer jumping (the
+    round-2 ask: no single process ever holds the full edge list — the
+    driver orchestrates per-bucket ObjectRefs only):
+
+    - setup: each edge part is symmetrized ((u,v) + (v,u)) and partitioned
+      by hash(first endpoint); bucket b owns the adjacency rows and label
+      state of its nodes. Initial label(x) = min(x, min neighbor).
+    - round phase A (neighbor propagation): each bucket ships (y, label[x])
+      messages for its adjacency rows to y's owner; owners fold them in
+      with a per-node min.
+    - round phase B (pointer jumping): each bucket asks the owners of its
+      distinct labels for label(label[x]) and applies the shortcut —
+      path-halving the label forest so chain-shaped components converge in
+      O(log n) rounds instead of O(diameter).
+    - stop when neither phase changes any label.
+
+    ``edge_parts``: list of (n, 2) int64 ndarrays or ObjectRefs to them.
+    """
+    if not edge_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if num_buckets is None:
+        num_buckets, _ = _cluster_buckets()
+    bits = max(1, int(np.ceil(np.log2(num_buckets))))
+    num_buckets = 1 << bits
+    shift = np.uint64(64 - bits)
+    part_refs = [p if isinstance(p, ray.ObjectRef) else ray.put(np.asarray(p, np.int64))
+                 for p in edge_parts]
+
+    @ray.remote
+    def part_adj(edges: np.ndarray) -> list[np.ndarray]:
+        if len(edges) == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        sym = np.concatenate([edges, edges[:, ::-1]])
+        key = _node_buckets(sym[:, 0], shift)
+        return _split_by_bucket(key, sym, num_buckets, shift)
+
+    adj_parts = [part_adj.options(num_returns=num_buckets).remote(r)
+                 for r in part_refs]
+
+    @ray.remote(num_returns=3)
+    def build_bucket(*parts: np.ndarray):
+        kept = [p for p in parts if len(p)]
+        if not kept:
+            e = np.empty(0, np.int64)
+            return np.empty((0, 2), np.int64), e, e
+        adj = np.concatenate(kept)
+        order = np.argsort(adj[:, 0], kind="stable")
+        adj = adj[order]
+        nodes, starts = np.unique(adj[:, 0], return_index=True)
+        # label(x) = min(x, min neighbor) — adjacency is symmetric, so the
+        # local min over each node's rows seeds one propagation hop
+        nbr_min = np.minimum.reduceat(adj[:, 1], starts)
+        labels = np.minimum(nodes, nbr_min)
+        return adj, nodes, labels
+
+    state = [build_bucket.remote(*[a[b] for a in adj_parts])
+             for b in range(num_buckets)]
+    adj_refs = [s[0] for s in state]
+    node_refs = [s[1] for s in state]
+    label_refs = [s[2] for s in state]
+
+    @ray.remote
+    def emit_neighbor_msgs(adj, nodes, labels) -> list[np.ndarray]:
+        if len(adj) == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        lab = labels[np.searchsorted(nodes, adj[:, 0])]
+        rows = np.column_stack([adj[:, 1], lab])
+        key = _node_buckets(rows[:, 0], shift)
+        return _split_by_bucket(key, rows, num_buckets, shift)
+
+    @ray.remote(num_returns=2)
+    def apply_msgs(nodes, labels, *msg_parts: np.ndarray):
+        kept = [m for m in msg_parts if len(m)]
+        if not kept or len(nodes) == 0:
+            return labels, 0
+        rows = np.concatenate(kept)
+        # per-target min via sort+reduceat (np.minimum.at is unbuffered and
+        # ~50x slower on large message arrays)
+        order = np.argsort(rows[:, 0], kind="stable")
+        tgt, val = rows[order, 0], rows[order, 1]
+        starts = np.flatnonzero(np.concatenate([[True], tgt[1:] != tgt[:-1]]))
+        mins = np.minimum.reduceat(val, starts)
+        utgt = tgt[starts]
+        pos = np.clip(np.searchsorted(nodes, utgt), 0, len(nodes) - 1)
+        found = nodes[pos] == utgt
+        pos, mins = pos[found], mins[found]
+        new = labels.copy()
+        new[pos] = np.minimum(new[pos], mins)
+        return new, int((new != labels).sum())
+
+    @ray.remote
+    def emit_jump_queries(nodes, labels) -> list[np.ndarray]:
+        # rows (label, node) routed to the label's owner; the node id rides
+        # along so the owner can route its answer straight back — O(V)
+        # messages per hop, no answer broadcast
+        if len(nodes) == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        rows = np.column_stack([labels, nodes])
+        key = _node_buckets(rows[:, 0], shift)
+        return _split_by_bucket(key, rows, num_buckets, shift)
+
+    @ray.remote
+    def answer_jump(nodes, labels, *query_parts: np.ndarray) -> list[np.ndarray]:
+        kept = [q for q in query_parts if len(q)]
+        if not kept:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        rows = np.concatenate(kept)  # (label, origin node)
+        qs = rows[:, 0]
+        if len(nodes):
+            pos = np.clip(np.searchsorted(nodes, qs), 0, len(nodes) - 1)
+            found = nodes[pos] == qs
+            ans = np.where(found, labels[pos], qs)  # unknown label = itself
+        else:
+            ans = qs
+        out = np.column_stack([rows[:, 1], ans])  # (node, label(label))
+        key = _node_buckets(out[:, 0], shift)
+        return _split_by_bucket(key, out, num_buckets, shift)
+
+    for _ in range(max_rounds):
+        # phase A: neighbor min-propagation (O(E) messages)
+        msgs = [emit_neighbor_msgs.options(num_returns=num_buckets).remote(
+                    adj_refs[b], node_refs[b], label_refs[b])
+                for b in range(num_buckets)]
+        applied = [apply_msgs.remote(node_refs[b], label_refs[b],
+                                     *[m[b] for m in msgs])
+                   for b in range(num_buckets)]
+        label_refs = [a[0] for a in applied]
+        changed_a = sum(ray.get([a[1] for a in applied]))
+        # phase B: pointer jumping label[x] <- label(label[x]) (O(V) per hop)
+        queries = [emit_jump_queries.options(num_returns=num_buckets).remote(
+                       node_refs[b], label_refs[b])
+                   for b in range(num_buckets)]
+        answers = [answer_jump.options(num_returns=num_buckets).remote(
+                       node_refs[b], label_refs[b], *[q[b] for q in queries])
+                   for b in range(num_buckets)]
+        jumped = [apply_msgs.remote(node_refs[b], label_refs[b],
+                                    *[answers[ob][b] for ob in range(num_buckets)])
+                  for b in range(num_buckets)]
+        label_refs = [j[0] for j in jumped]
+        changed_b = sum(ray.get([j[1] for j in jumped]))
+        if changed_a == 0 and changed_b == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+
+    nodes = np.concatenate(ray.get(node_refs)) if node_refs else np.empty(0, np.int64)
+    labels = np.concatenate(ray.get(label_refs)) if label_refs else np.empty(0, np.int64)
+    order = np.argsort(nodes)
+    return nodes[order], labels[order]
+
+
 def minhash_dedup_clusters(
     src: "ray.data.Dataset | list[str]",
     text_column: str = "text",
@@ -778,47 +1014,71 @@ def minhash_dedup_clusters(
     jaccard_threshold: float = 0.8,
     max_group_size: int = 4096,
     concurrency: int | None = None,
+    driver_edge_threshold: int = 2_000_000,
 ) -> pd.DataFrame:
     """Near-dup clusters with keeper assignment: (doc_id, keeper_id, cluster_size).
 
     The reference's dedup semantics is "keep one representative"
     (adapters.py:330-337); a training-data pipeline needs doc→keeper, not a
-    pair list. Union-find over the verified candidate edges; keeper = min id
-    per connected component; one row per clustered doc (keeper included,
+    pair list. Keeper = min id per connected component of the verified
+    candidate edges; one row per clustered doc (keeper included,
     identifiable by doc_id == keeper_id). Docs in no cluster are absent —
     they keep themselves.
 
-    The edge list is the verified near-dup pair set (star edges for
-    oversized buckets keep giant boilerplate clusters connected without the
-    O(m²) pair blowup), so the driver-side union-find is linear in the
-    number of *duplicated* docs, not the corpus.
+    Below ``driver_edge_threshold`` verified edges the components come from
+    a driver union-find (linear in edges, cheapest at small scale); above
+    it, from the partitioned min-label propagation
+    (``connected_components_min_label``) so no process ever holds the full
+    edge list. Both give identical labels (component min). NOTE on star
+    edges: oversized LSH buckets emit only anchor→member edges, and those
+    pass the same est_jaccard threshold as real pairs — a member whose
+    anchor edge scores below threshold detaches even if member-member
+    similarity is above it, so cluster connectivity for over-
+    ``max_group_size`` buckets is approximate by design.
     """
-    pairs = minhash_lsh_candidates(
+    pairs_ds = minhash_lsh_candidates(
         src, text_column, id_column, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
         max_group_size=max_group_size, concurrency=concurrency,
-    ).to_pandas()
-    parent: dict[int, int] = {}
+    )
+    pair_refs = pairs_ds.to_arrow_refs()  # bounded by the op's output
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
+    @ray.remote
+    def to_edges(t: pa.Table) -> np.ndarray:
+        if len(t) == 0:
+            return np.empty((0, 2), np.int64)
+        return np.column_stack([
+            t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ])
 
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members: dict[int, list[int]] = {}
-    for x in parent:
-        members.setdefault(find(x), []).append(x)
-    rows = []
-    for root, ms in members.items():
-        keeper = min(ms)
-        for m in sorted(ms):
-            rows.append((m, keeper, len(ms)))
-    out = pd.DataFrame(rows, columns=[id_column, "keeper_id", "cluster_size"])
+    edge_refs = [to_edges.remote(r) for r in pair_refs]
+
+    @ray.remote
+    def edge_len(e: np.ndarray) -> int:
+        return len(e)
+
+    total_edges = sum(ray.get([edge_len.remote(e) for e in edge_refs]))
+    if total_edges == 0:
+        return pd.DataFrame(
+            {id_column: pd.Series(dtype="int64"),
+             "keeper_id": pd.Series(dtype="int64"),
+             "cluster_size": pd.Series(dtype="int64")}
+        )
+    if total_edges <= driver_edge_threshold:
+        edges = np.concatenate(ray.get(edge_refs))
+        labels_map = union_find_labels(edges)
+        nodes = np.fromiter(labels_map.keys(), dtype=np.int64, count=len(labels_map))
+        labels = np.fromiter(labels_map.values(), dtype=np.int64, count=len(labels_map))
+        order = np.argsort(nodes)
+        nodes, labels = nodes[order], labels[order]
+    else:
+        nodes, labels = connected_components_min_label(edge_refs)
+
+    roots, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+    out = pd.DataFrame(
+        {id_column: nodes, "keeper_id": labels, "cluster_size": counts[inv]}
+    )
     return out.sort_values(id_column).reset_index(drop=True).astype(
         {id_column: "int64", "keeper_id": "int64", "cluster_size": "int64"}
     )

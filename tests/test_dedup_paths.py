@@ -27,35 +27,8 @@ from biosample_enricher_ray.stages.dedup import (
 )
 
 
-@pytest.fixture(scope="module")
-def blob_corpus(tmp_path_factory):
-    """Two parquet fragments, ~500 rows, fat (~8 KB) texts, planted exact
-    dups (cross-fragment) and near-dup pairs."""
-    rng = np.random.default_rng(42)
-    words = [f"w{i:04d}" for i in range(500)]
-
-    def doc(seed: int, n: int = 1200) -> str:
-        r = np.random.default_rng(seed)
-        return " ".join(words[i] for i in r.integers(0, len(words), n))
-
-    rows_a, rows_b = [], []
-    for i in range(200):
-        rows_a.append({"doc_id": i, "text": doc(1000 + i)})
-    for i in range(200, 400):
-        rows_b.append({"doc_id": i, "text": doc(1000 + i)})
-    # exact dups: doc 0..4's text repeated in the OTHER fragment
-    for j in range(5):
-        rows_b.append({"doc_id": 400 + j, "text": rows_a[j]["text"]})
-    # near dups: doc 10..14 with a few words appended
-    for j in range(5):
-        rows_b.append(
-            {"doc_id": 500 + j, "text": rows_a[10 + j]["text"] + " tail tail"}
-        )
-    d = tmp_path_factory.mktemp("blobcorpus")
-    p_a, p_b = str(d / "part-a.parquet"), str(d / "part-b.parquet")
-    pq.write_table(pa.Table.from_pylist(rows_a), p_a)
-    pq.write_table(pa.Table.from_pylist(rows_b), p_b)
-    return [p_a, p_b]
+# (blob_corpus fixture lives in conftest.py — shared with the
+# connected-components tests)
 
 
 def _exact_df(out) -> pd.DataFrame:
@@ -113,7 +86,16 @@ def test_paths_input_never_materializes_source(blob_corpus, monkeypatch):
     def boom(*a, **k):  # pragma: no cover - failure path
         raise AssertionError("corpus was materialized as a Dataset")
 
-    monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", boom)
+    orig_refs = ray.data.Dataset.to_arrow_refs
+
+    def guarded_refs(self, *a, **k):
+        # materializing a dataset that still carries the text column =
+        # corpus pinning; key/pair-sized datasets are allowed
+        if "text" in self.schema().names:
+            boom()
+        return orig_refs(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", guarded_refs)
     monkeypatch.setattr(ray.data, "read_parquet", boom)
 
     exact = _exact_df(exact_dedup_groups(blob_corpus))
