@@ -954,6 +954,31 @@ def ann_ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
                     query_ids=qids)
 
 
+def ann_ivf_recall_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible IVF recall gate (round-3 VERDICT ask #7): overlap@10
+    between the IVF scale path and the exact brute-force top-k (whose own
+    oracle is green), per query vector. IVF is not SQL-expressible, so the
+    hash-checked contract is the boolean gate plus the result-size
+    invariant: if IVF recall drops below 0.5 or stops returning k results,
+    the engine emits a row the oracle cannot match and the driver goes red
+    — no more trust-the-unit-test for this pipeline."""
+    from ..stages.ann import brute_force_topk, ivf_topk
+
+    queries, qids = _load_query_vectors(sf_dir)
+    exact = brute_force_topk(_read(sf_dir, "embeddings"), queries, k=10,
+                             query_ids=qids)
+    approx = ivf_topk(_read(sf_dir, "embeddings"), queries, k=10,
+                      n_centroids=16, n_probe=6, query_ids=qids)
+    rows = []
+    for q in qids:
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        rows.append((int(q), len(a), len(e & a) / max(len(e), 1) >= 0.5))
+    return pd.DataFrame(rows, columns=["query_id", "n_topk", "recall_ok"]).astype(
+        {"query_id": "int64", "n_topk": "int64", "recall_ok": "bool"}
+    )
+
+
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct counts (A3 sketch path; exact twin is
     distinct_counts_documents)."""
@@ -1125,6 +1150,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_documents": simhash_documents,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
+    "ann_ivf_recall_embeddings": ann_ivf_recall_embeddings,
     "hll_distinct_documents": hll_distinct_documents,
     "drift_events_value": drift_events_value,
 }
@@ -1408,5 +1434,15 @@ ORACLE_SQL: dict[str, str] = {
         "       CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS rank FROM s"
         " WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id ASC)"
         " QUALIFY ROW_NUMBER() OVER w <= 10 ORDER BY query_id, rank"
+    ),
+    # The gate contract: IVF must return exactly k results per query with
+    # recall@10 >= 0.5 vs exact top-k. IVF itself is not SQL-expressible —
+    # the oracle pins the PASSING outcome, so any engine-side recall
+    # degradation hash-mismatches in the driver.
+    "ann_ivf_recall_embeddings": (
+        "SELECT CAST(vec_id AS BIGINT) AS query_id, "
+        "CAST(10 AS BIGINT) AS n_topk, TRUE AS recall_ok "
+        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3) "
+        "ORDER BY query_id"
     ),
 }

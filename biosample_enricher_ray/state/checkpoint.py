@@ -136,20 +136,34 @@ def run_partition(
     *,
     batch_size: int = 2048,
     concurrency: int | None = None,
+    max_violations_per_check: int | None = None,
+    full_violations_sink: bool = False,
 ) -> dict[str, Any]:
-    """Validate one partition's fragments; write violations + commit record."""
+    """Validate one partition's fragments; write violations + commit record.
+
+    ``max_violations_per_check`` caps what the partition RETAINS per check
+    (one-shot-path parity, validate.summarize_records) so a systemically-
+    failing check cannot blow a resumable run; matrix counts stay exact.
+    With ``full_violations_sink`` every violation row additionally streams
+    to ``violations_full.parquet`` inside the partition dir.
+    """
     start = time.time()
     with _DATASET_SETUP_LOCK:
         ds = ray.data.read_parquet(plan.fragments, include_paths=True)
     records = records_dataset(ds, checks, profile, batch_size=batch_size,
                               concurrency=concurrency)
-    result = summarize_records(records)
 
     part_dir = os.path.join(out_dir, "partitions", plan.partition_id)
     tmp_dir = part_dir + ".tmp"
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir, exist_ok=True)
+    result = summarize_records(
+        records,
+        max_violations_per_check=max_violations_per_check,
+        violations_path=(os.path.join(tmp_dir, "violations_full.parquet")
+                         if full_violations_sink else None),
+    )
     pq.write_table(result.violations, os.path.join(tmp_dir, "violations.parquet"))
     result.matrix.to_parquet(os.path.join(tmp_dir, "passfail.parquet"))
     with open(os.path.join(tmp_dir, "sketches.pkl"), "wb") as f:
@@ -200,6 +214,8 @@ def run_validation(
     concurrency: int | None = None,
     uniqueness_column: str | None = "url",
     resume: bool = True,
+    max_violations_per_check: int | None = None,
+    violations_path: str | None = None,
 ) -> ValidationResult:
     """Checkpointed, resumable validation over a list of parquet fragments.
 
@@ -207,6 +223,14 @@ def run_validation(
     (violations + matrix + sketches) and only uncommitted partitions execute.
     The global uniqueness check runs once at the end over the full input (it
     cannot be partition-local) and is recorded in the run manifest.
+
+    ``max_violations_per_check`` / ``violations_path`` mirror the one-shot
+    path (validate_dataset): the cap bounds what each partition retains per
+    check (exact counts stay in the matrix), and the sink path receives the
+    FULL violation stream — assembled from per-partition
+    ``violations_full.parquet`` files, so a resumed run still delivers every
+    row. A commit produced without the sink cannot be reused when the sink
+    is requested, so such partitions re-execute.
     """
     os.makedirs(out_dir, exist_ok=True)
     plans = plan_partitions(input_paths, files_per_partition)
@@ -217,13 +241,20 @@ def run_validation(
     # (part-NNNNN over the sorted path list), so adding/removing an input
     # file or changing the suite silently shifts what each id means — such
     # stale commits must re-execute, not merge into the result.
-    done = {
-        p.partition_id: commits[p.partition_id]
-        for p in plans
-        if p.partition_id in commits
-        and commits[p.partition_id].get("input_fragment_ids") == p.fragments
-        and commits[p.partition_id].get("suite_version") == fp
-    }
+    def _commit_reusable(p: PartitionPlan) -> bool:
+        c = commits.get(p.partition_id)
+        if (c is None or c.get("input_fragment_ids") != p.fragments
+                or c.get("suite_version") != fp):
+            return False
+        if violations_path is not None and not os.path.exists(
+            os.path.join(out_dir, "partitions", p.partition_id,
+                         "violations_full.parquet")
+        ):
+            return False  # sink requested but this commit never streamed it
+        return True
+
+    done = {p.partition_id: commits[p.partition_id]
+            for p in plans if _commit_reusable(p)}
     todo = [p for p in plans if p.partition_id not in done]
 
     if todo:
@@ -237,7 +268,9 @@ def run_validation(
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [
                 pool.submit(run_partition, p, out_dir, checks, profile,
-                            batch_size=batch_size, concurrency=concurrency)
+                            batch_size=batch_size, concurrency=concurrency,
+                            max_violations_per_check=max_violations_per_check,
+                            full_violations_sink=violations_path is not None)
                 for p in todo
             ]
             for f in futures:
@@ -266,6 +299,7 @@ def run_validation(
     if len(result.matrix):
         result.n_rows = int(result.matrix.groupby("check_id")["n_rows"].sum().max())
 
+    dup = None
     if uniqueness_column:
         # explicit numpy hash shuffle over the key column only — never ships
         # html/text blobs, ~15× faster than the Dataset sort-aggregate
@@ -275,6 +309,21 @@ def run_validation(
         pdf = parquet_key_uniqueness(sorted(input_paths), uniqueness_column)
         dup = _dup_frame_to_violations(pdf, uniqueness_column)
         result = _merge_uniqueness(result, dup, uniqueness_column, result.n_rows)
+
+    if violations_path is not None:
+        # assemble the FULL violation stream (per-partition sinks + global
+        # uniqueness rows) into the caller's single sink file
+        full_parts = []
+        for plan in plans:
+            p_full = os.path.join(out_dir, "partitions", plan.partition_id,
+                                  "violations_full.parquet")
+            if os.path.exists(p_full):
+                full_parts.append(pq.read_table(p_full))
+        if dup is not None and len(dup):
+            full_parts.append(dup)
+        full = (pa.concat_tables(full_parts, promote_options="default")
+                if full_parts else result.violations.slice(0, 0))
+        pq.write_table(full, violations_path)
 
     manifest = {
         "suite_version": fp,

@@ -121,3 +121,50 @@ def test_suite_edit_invalidates_commits(tmp_path, corpus_dir):
                    max_concurrent_partitions=2, batch_size=512)
     m3 = json.load(open(os.path.join(out, "run_manifest.json")))
     assert m3["executed_partitions"] == []
+
+
+def test_checkpointed_violation_cap_and_sink(tmp_path, corpus_dir):
+    """One-shot-path parity (VERDICT r2 #9): a 100%-failing check through the
+    RESUMABLE path must keep exact counts, cap what the driver retains, and
+    deliver every violation row to the sink — even across a resume."""
+    import pyarrow.parquet as pq
+
+    from biosample_enricher_ray.stages.checks import RegexCheck
+
+    out = str(tmp_path / "capped")
+    paths = _paths(corpus_dir)
+    checks = [RegexCheck(column="url", pattern=r"^IMPOSSIBLE$",
+                         check_id="always_fails")]
+    sink = str(tmp_path / "violations_full.parquet")
+
+    result = run_validation(
+        paths, out, checks, None, files_per_partition=1,
+        max_concurrent_partitions=2, batch_size=512,
+        uniqueness_column=None,
+        max_violations_per_check=10, violations_path=sink,
+    )
+    m = result.matrix.groupby("check_id")[["n_violations", "n_rows"]].sum()
+    total = int(m.loc["always_fails", "n_violations"])
+    assert total == int(m.loc["always_fails", "n_rows"]) == 4000
+    # cap is per partition: 4 partitions x 10 retained, not O(corpus)
+    assert len(result.violations) == 40
+    sunk = pq.read_table(sink)
+    assert len(sunk) == total
+    assert set(sunk["check_id"].to_pylist()) == {"always_fails"}
+
+    # a commit produced WITHOUT the sink must not satisfy a sink-requesting
+    # resume: drop one partition's full sink to simulate it
+    os.remove(os.path.join(out, "partitions", "part-00001",
+                           "violations_full.parquet"))
+    sink2 = str(tmp_path / "violations_full_2.parquet")
+    result2 = run_validation(
+        paths, out, checks, None, files_per_partition=1,
+        max_concurrent_partitions=2, batch_size=512,
+        uniqueness_column=None,
+        max_violations_per_check=10, violations_path=sink2,
+    )
+    manifest = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert manifest["executed_partitions"] == ["part-00001"]
+    assert len(manifest["resumed_partitions"]) == 3
+    assert len(pq.read_table(sink2)) == total
+    assert result2.violations_sorted().equals(result.violations_sorted())
