@@ -194,15 +194,19 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
         with open(p, "rb") as f:
             while f.read(1 << 24):
                 pass
-    n_blocks = max(len(paths), concurrency)
+    # blocks-per-actor granularity: with 256 blocks on 24 actors the longest
+    # last-wave task (remote wall 1.6-4.5 s spread) idles the pool in its
+    # tail; a 2x split halves the straggler quantum (A/B via env knob)
+    blocks_mult = int(os.environ.get("GRAFT_BENCH_BLOCKS_MULT", "1"))
 
     from concurrent.futures import ThreadPoolExecutor
 
     def one_run(run_paths):
         checks = shrunk_pages_checks(lang_dim_ref=ray.put(lang),
                                      domain_dim_ref=ray.put(dom))
-        ds = ray.data.read_parquet(run_paths, include_paths=True,
-                                   override_num_blocks=max(len(run_paths), concurrency))
+        ds = ray.data.read_parquet(
+            run_paths, include_paths=True,
+            override_num_blocks=blocks_mult * max(len(run_paths), concurrency))
         ds = ds.map_batches(shrink_html_batch, batch_format="pyarrow")
         t0 = time.time()
         from biosample_enricher_ray.stages.validator import make_sketch_merger
@@ -216,14 +220,36 @@ def run_scaling_pipeline(corpus_dir: str, concurrency: int) -> dict:
         # copy of the text column, ~40 µs/row of the stage's measured 126);
         # the kernels sub-chunk internally (text_fingerprints chunk_docs) so
         # batch size no longer affects cache behavior.
-        rec = ds.map_batches(
-            ValidateFingerprintStage,
-            fn_constructor_kwargs=dict(checks=checks,
-                                       profile=shrunk_pages_profile(),
-                                       path_column="path"),
-            batch_format="pyarrow", batch_size=None, concurrency=concurrency,
-        ).map_batches(make_sketch_merger(collapse_partitions=True),
-                      batch_format="pyarrow", batch_size=8192)
+        if os.environ.get("GRAFT_BENCH_TASK_STAGE", "0") == "1":
+            # TASK-pool variant (A/B knob, measured WORSE): per-worker-cached
+            # state, tasks release CPUs between batches, no static pool split.
+            # Interleaved same-window pairs at 32 CPUs measured 44.4 vs 34.6 s
+            # and 33.5 vs 29.4 s against the actor pool — the actor pool's
+            # block prefetch to pinned actors beats per-task scheduling here,
+            # so the actor path below stays the default.
+            profile = shrunk_pages_profile()
+
+            def validate_fp(batch):
+                st = validate_fp.__dict__.get("_st")
+                if st is None:
+                    st = ValidateFingerprintStage(
+                        checks=checks, profile=profile, path_column="path")
+                    validate_fp._st = st
+                return st(batch)
+
+            rec = ds.map_batches(
+                validate_fp, batch_format="pyarrow", batch_size=None,
+            ).map_batches(make_sketch_merger(collapse_partitions=True),
+                          batch_format="pyarrow", batch_size=8192)
+        else:
+            rec = ds.map_batches(
+                ValidateFingerprintStage,
+                fn_constructor_kwargs=dict(checks=checks,
+                                           profile=shrunk_pages_profile(),
+                                           path_column="path"),
+                batch_format="pyarrow", batch_size=None, concurrency=concurrency,
+            ).map_batches(make_sketch_merger(collapse_partitions=True),
+                          batch_format="pyarrow", batch_size=8192)
         # OVERLAP: the uniqueness shuffle (key column only, raw Ray tasks)
         # is independent of the validator pass — launch it concurrently so
         # its ~2-4 s no longer sits on the serial path after the map stage.
@@ -442,7 +468,7 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+        n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "4"))
         pairs = []
         for k in range(n_pairs):
             probe = cpu_probe_ms()
@@ -450,6 +476,10 @@ def main() -> None:
             # whichever leg runs first, 4× faster on the larger session
             r32 = run_leg(32)
             r8 = run_leg(8)
+            # per-PAIR host ceiling, measured in the same weather window as
+            # the legs it normalizes (a single after-the-fact ceiling can
+            # belong to a different throttling regime than any given pair)
+            host = host_achievable_speedup(dur=5.0)
             eff = (r8["value"] / r32["value"]) / (32 / 8)
             pairs.append({
                 "pair": k,
@@ -457,27 +487,44 @@ def main() -> None:
                 "sec_8": round(r8["value"], 3),
                 "sec_32": round(r32["value"], 3),
                 "efficiency": round(eff, 3),
+                "host_achievable_speedup_8_to_32": host["achievable_speedup_8_to_32"],
+                "host_normalized_efficiency": round(
+                    (r8["value"] / r32["value"])
+                    / host["achievable_speedup_8_to_32"], 3),
                 "rows_per_sec_8": round(r8["rows_per_sec"], 1),
                 "rows_per_sec_32": round(r32["rows_per_sec"], 1),
             })
+
+        def median(xs):
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
         best = max(pairs, key=lambda p: p["efficiency"])
-        host = host_achievable_speedup()
-        speedup = best["sec_8"] / best["sec_32"]
+        med_eff = median([p["efficiency"] for p in pairs])
+        med_norm = median([p["host_normalized_efficiency"] for p in pairs])
+        med_ceiling = median(
+            [p["host_achievable_speedup_8_to_32"] for p in pairs])
         print(json.dumps({
+            # OFFICIAL number = the MEDIAN interleaved pair (unbiased under
+            # host-weather noise; r2 ADVICE). Best pair + per-pair host
+            # ceilings disclosed alongside: when the raw median trails the
+            # target while the normalized median >= 1, the residual is the
+            # measured host ceiling, not the engine.
+            "scaling_efficiency": round(med_eff, 3),
+            "scaling_efficiency_best_pair": best["efficiency"],
+            "host_normalized_efficiency_median": round(med_norm, 3),
+            "host_achievable_speedup_median": round(med_ceiling, 3),
             "sec_8": best["sec_8"],
             "sec_32": best["sec_32"],
             "rows_per_sec_8": best["rows_per_sec_8"],
             "rows_per_sec_32": best["rows_per_sec_32"],
-            "scaling_efficiency": best["efficiency"],
-            "host_achievable_speedup_8_to_32": host["achievable_speedup_8_to_32"],
-            "host_normalized_efficiency": round(
-                speedup / host["achievable_speedup_8_to_32"], 3),
             "rows": SCALING_ROWS,
-            "protocol": "best of interleaved pairs (both legs share one "
-                        "host-weather window); normalized vs an engine-"
-                        "independent pure-numpy worker-throughput ceiling",
+            "protocol": "median of interleaved pairs (both legs + a pure-"
+                        "numpy worker-throughput host ceiling share one "
+                        "weather window per pair); best pair and per-pair "
+                        "ceilings disclosed",
             "pairs": pairs,
-            "host_probe": host,
         }))
         return
 
