@@ -121,6 +121,61 @@ def _svg_bar_chart(labels: list[str], values: list[float], *, width: int = 720,
             f'height="{h}" viewBox="0 0 {width} {h}">' + "".join(rows) + "</svg>")
 
 
+def _svg_histogram(edges, counts, *, width: int = 340, height: int = 120,
+                   title: str = "") -> str:
+    """Dependency-free vertical histogram as inline SVG — the per-column
+    distribution plot (metrics/visualizer.py:370-413 analog; the reference
+    plots matplotlib histograms per column, this stack has no matplotlib).
+    ``counts`` has len(edges)+1 bins (under/overflow from FixedHistogram);
+    the finite interior bins are drawn, under/overflow shown as edge bars."""
+    import html as _html
+
+    import numpy as np
+
+    counts = np.asarray(counts, dtype=np.float64)
+    edges = np.asarray(edges, dtype=np.float64)
+    n = len(counts)
+    vmax = max(counts.max(), 1.0)
+    pad_b, pad_t = 18, 14
+    bar_w = width / n
+    plot_h = height - pad_b - pad_t
+    bars = []
+    for i, c in enumerate(counts):
+        h = plot_h * (c / vmax)
+        x = i * bar_w
+        fill = "#b0784a" if i == 0 or i == n - 1 else "#4878a8"  # under/over
+        bars.append(
+            f'<rect x="{x:.1f}" y="{pad_t + plot_h - h:.1f}" '
+            f'width="{max(bar_w - 1, 1):.1f}" height="{h:.1f}" fill="{fill}">'
+            f'<title>{c:.0f}</title></rect>'
+        )
+    lo = f"{edges[0]:.6g}" if len(edges) else ""
+    hi = f"{edges[-1]:.6g}" if len(edges) else ""
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+        f'<text x="4" y="11" font-size="11" font-family="monospace">'
+        f'{_html.escape(title)} (max {vmax:.6g})</text>'
+        + "".join(bars)
+        + f'<text x="4" y="{height - 5}" font-size="10" '
+          f'font-family="monospace">{lo}</text>'
+        + f'<text x="{width - 4}" y="{height - 5}" text-anchor="end" '
+          f'font-size="10" font-family="monospace">{hi}</text></svg>'
+    )
+
+
+def column_distribution_svgs(result: ValidationResult) -> dict[str, str]:
+    """One SVG histogram per profiled column that carries a FixedHistogram
+    sketch (merged across partitions — the distributed analog of the
+    reference's per-column distribution plots)."""
+    out = {}
+    for col, p in sorted((result.profiles or {}).items()):
+        h = p.get("_hist")
+        if h is not None:
+            out[col] = _svg_histogram(h.edges, h.counts, title=col)
+    return out
+
+
 def to_html_dashboard(result: ValidationResult,
                       title: str = "Validation dashboard") -> str:
     """Self-contained HTML dashboard: headline tiles, per-check violation-rate
@@ -141,6 +196,13 @@ def to_html_dashboard(result: ValidationResult,
         )
     prof = profile_table(result)
     prof_html = prof.to_html(index=False, border=0) if len(prof) else ""
+    dists = column_distribution_svgs(result)
+    dist_html = ""
+    if dists:
+        dist_html = ("<h2>Column distributions</h2>\n<div class=\"dists\">"
+                     + "".join(f'<div class="dist">{svg}</div>'
+                               for svg in dists.values())
+                     + "</div>")
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>
@@ -151,6 +213,8 @@ def to_html_dashboard(result: ValidationResult,
  table {{ border-collapse: collapse; font-size: 13px; }}
  td, th {{ padding: 4px 10px; border-bottom: 1px solid #eee; text-align: right; }}
  th {{ background: #f5f5f5; }}
+ .dists {{ display: flex; flex-wrap: wrap; gap: 12px; }}
+ .dist {{ border: 1px solid #eee; border-radius: 6px; padding: 6px; }}
 </style></head><body>
 <h1>{title}</h1>
 <div class="tiles">
@@ -161,6 +225,7 @@ def to_html_dashboard(result: ValidationResult,
 </div>
 <h2>Violation rate per check</h2>
 {bars}
+{dist_html}
 <h2>Column profiles</h2>
 {prof_html}
 </body></html>"""

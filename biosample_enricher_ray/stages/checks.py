@@ -190,6 +190,62 @@ class EnumCheck(RowCheck):
         return _as_bool_array(pc.and_(pc.invert(ok), pc.is_valid(batch[self.column])))
 
 
+@dataclass
+class CacheabilityCheck(RowCheck):
+    """Cacheability gate (F5): a fetched row may be persisted to the cache /
+    checkpoint store only when its status is an allowed success code AND its
+    body is not a disguised error payload (http_cache.py:55-66 — the
+    reference rejects 200s from googleapis whose JSON body carries an
+    ``error``/``error_message`` field). Violation = NOT cacheable.
+
+    ``column`` is the status-code column; ``body_column`` the payload text;
+    ``gate_url_pattern`` (optional, with ``url_column``) restricts the
+    error-body sniff to matching providers, as the reference does."""
+
+    body_column: str = ""
+    url_column: str = ""
+    ok_statuses: tuple = (200,)
+    error_pattern: str = r'"error"\s*:|"error_message"\s*:'
+    gate_url_pattern: str = ""
+
+    def __post_init__(self):
+        self.check_id = self.check_id or f"cacheable:{self.column}"
+        self.expected = self.expected or (
+            f"status in {sorted(self.ok_statuses)} and no error body")
+
+    def needs(self) -> list[str]:
+        cols = [self.column]
+        if self.body_column:
+            cols.append(self.body_column)
+        if self.gate_url_pattern and self.url_column:
+            cols.append(self.url_column)
+        return cols
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        status = batch[self.column]
+        ok_set = pa.array(
+            sorted(self.ok_statuses),
+            status.type if pa.types.is_integer(status.type) else pa.int64())
+        bad = pc.invert(pc.fill_null(pc.is_in(status, value_set=ok_set), False))
+        if self.body_column:
+            err = pc.fill_null(
+                pc.match_substring_regex(batch[self.body_column],
+                                         self.error_pattern), False)
+            if self.gate_url_pattern and self.url_column:
+                gated = pc.fill_null(
+                    pc.match_substring_regex(batch[self.url_column],
+                                             self.gate_url_pattern), False)
+                err = pc.and_(err, gated)
+            bad = pc.or_(bad, err)
+        return _as_bool_array(bad)
+
+
+def cacheable_mask(batch: pa.Table, check: "CacheabilityCheck") -> pa.Array:
+    """Keep-mask (True = safe to persist) for use as a pre-sink filter:
+    ``ds.map_batches(lambda t: t.filter(cacheable_mask(t, check)))``."""
+    return _as_bool_array(pc.invert(check.mask(batch)))
+
+
 def dim_content_digest(dim: pa.Array | pa.ChunkedArray) -> str:
     """Content digest of a dimension array (buffer bytes + length) — stored
     in ``ReferentialCheck.dim_digest`` so the resume fingerprint detects dim

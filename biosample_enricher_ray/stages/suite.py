@@ -50,6 +50,7 @@ from typing import Any
 import pyarrow as pa
 
 from .checks import (
+    CacheabilityCheck,
     CompletenessCheck,
     CrossFieldCheck,
     EnumCheck,
@@ -136,6 +137,17 @@ def compile_check(entry: dict) -> RowCheck:
         return ReferentialCheck(column=entry["column"], dim_ref=ref,
                                 dim_digest=digest,
                                 key_fn=entry.get("key_fn"), **_common(entry))
+    if kind == "cacheability":
+        kw = {}
+        if "ok_statuses" in entry:
+            kw["ok_statuses"] = tuple(entry["ok_statuses"])
+        if "error_pattern" in entry:
+            kw["error_pattern"] = entry["error_pattern"]
+        return CacheabilityCheck(column=entry["column"],
+                                 body_column=entry.get("body_column", ""),
+                                 url_column=entry.get("url_column", ""),
+                                 gate_url_pattern=entry.get("gate_url_pattern", ""),
+                                 **kw, **_common(entry))
     if kind == "schema":
         fields = [pa.field(n, pa.type_for_alias(t) if isinstance(t, str) else t)
                   for n, t in entry["columns"].items()]

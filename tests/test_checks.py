@@ -127,3 +127,60 @@ def test_schema_check_mismatches():
     assert len(sc.mismatches(missing)) == 4
     wrong = pa.schema(list(alt) [:4] + [pa.field("lang", pa.int64())])
     assert any("lang" in m for m in sc.mismatches(wrong))
+
+
+def test_cacheability_check():
+    """F5 cacheability gate (http_cache.py:55-66 analog): only clean 200s are
+    persistable; 200s whose body is a disguised error payload from a gated
+    provider are rejected too."""
+    from biosample_enricher_ray.stages.checks import CacheabilityCheck, cacheable_mask
+
+    b = tbl(
+        status=pa.array([200, 404, 500, 200, 200, None], pa.int32()),
+        body=pa.array([
+            '{"ok": true}',                       # clean 200 -> cacheable
+            "not found",                          # 404 -> not cacheable
+            "boom",                               # 500 -> not cacheable
+            '{"error": {"message": "quota"}}',    # gated provider error 200
+            '{"error_message": "denied"}',        # ungated provider: kept
+            None,                                 # null status -> not cacheable
+        ]),
+        url=pa.array([
+            "https://example.com/a",
+            "https://example.com/b",
+            "https://api.provider.test/c",
+            "https://api.provider.test/d",
+            "https://example.com/e",
+            "https://example.com/f",
+        ]),
+    )
+    chk = CacheabilityCheck(column="status", body_column="body",
+                            url_column="url",
+                            gate_url_pattern=r"api\.provider\.test")
+    assert masks(chk, b) == [False, True, True, True, False, True]
+    assert cacheable_mask(b, chk).to_pylist() == [
+        True, False, False, False, True, False]
+    assert sorted(chk.needs()) == ["body", "status", "url"]
+
+    # ungated variant sniffs every body
+    chk2 = CacheabilityCheck(column="status", body_column="body")
+    assert masks(chk2, b) == [False, True, True, True, True, True]
+
+    # status-only variant
+    chk3 = CacheabilityCheck(column="status", ok_statuses=(200, 304))
+    assert masks(chk3, b) == [False, True, True, False, False, True]
+
+
+def test_cacheability_yaml_suite():
+    from biosample_enricher_ray.stages.checks import CacheabilityCheck
+    from biosample_enricher_ray.stages.suite import compile_check
+
+    chk = compile_check({
+        "type": "cacheability", "column": "status", "body_column": "body",
+        "url_column": "url", "gate_url_pattern": "googleapis",
+        "ok_statuses": [200, 304], "check_id": "cache_gate",
+    })
+    assert isinstance(chk, CacheabilityCheck)
+    assert chk.check_id == "cache_gate"
+    assert chk.ok_statuses == (200, 304)
+    assert chk.gate_url_pattern == "googleapis"

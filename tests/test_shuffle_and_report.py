@@ -112,12 +112,14 @@ def test_html_dashboard_sink(tmp_path, corpus_dir):
     from biosample_enricher_ray.pipelines.report import write_report
     from biosample_enricher_ray.pipelines.validate import (
         default_pages_checks,
+        default_pages_profile,
         records_dataset,
         summarize_records,
     )
 
     ds = ray.data.read_parquet(f"{corpus_dir}/pages-00000.parquet")
-    res = summarize_records(records_dataset(ds, default_pages_checks(), None,
+    res = summarize_records(records_dataset(ds, default_pages_checks(),
+                                            default_pages_profile(),
                                             batch_size=512, concurrency=2,
                                             path_column=None))
     paths = write_report(res, str(tmp_path / "report"))
@@ -125,3 +127,12 @@ def test_html_dashboard_sink(tmp_path, corpus_dir):
     assert html.startswith("<!DOCTYPE html>")
     assert "<svg" in html and "rows validated" in html
     assert "url_format" in html  # per-check bars present
+    # per-column distribution plots (visualizer.py:370-413 analog) rendered
+    # from the merged FixedHistogram sketches
+    assert "Column distributions" in html
+    from biosample_enricher_ray.pipelines.report import column_distribution_svgs
+    dists = column_distribution_svgs(res)
+    assert dists and all(s.startswith("<svg") for s in dists.values())
+    # every drawn bin count equals the sketch's (non-empty plot, exact data)
+    col, svg = next(iter(dists.items()))
+    assert res.profiles[col]["_hist"].total > 0
