@@ -979,6 +979,139 @@ def ann_ivf_recall_embeddings(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_PLANTED_OFFSET = 1_000_000
+_PLANTED_N = 50
+
+
+def _planted_ids(sf_dir: str, n: int = _PLANTED_N) -> np.ndarray:
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    return np.sort(ids)[:n]
+
+
+def _planted_dup_path(sf_dir: str, n: int = _PLANTED_N) -> str:
+    """Deterministic augmented corpus for the dedup-family recall gates:
+    documents plus byte-identical copies of the ``n`` lowest doc_ids at
+    ``doc_id + _PLANTED_OFFSET``. Written once to /tmp (gate-scale input —
+    at production scale the same augmentation is a map_batches stage)."""
+    import os
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/graft_planted/{slug}_documents_{n}.parquet"
+    if not os.path.exists(out):
+        os.makedirs("/tmp/graft_planted", exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        order = pc.sort_indices(t["doc_id"].combine_chunks())
+        dup = t.take(order[:n])
+        i = dup.schema.get_field_index("doc_id")
+        dup = dup.set_column(i, "doc_id",
+                             pc.add(dup["doc_id"], _PLANTED_OFFSET))
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables([t, dup]), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def _planted_pair_frame(ids: np.ndarray, ok: list[bool],
+                        flag_name: str) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": ids.astype("int64"),
+        "dup_id": (ids + _PLANTED_OFFSET).astype("int64"),
+        flag_name: pd.array(ok, dtype="bool"),
+    })
+
+
+def minhash_recall_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible recall gate for the MinHash-LSH family (the IVF-gate
+    pattern): every planted byte-identical duplicate pair (Jaccard 1.0 —
+    all bands must collide) must appear in the candidate pairs. The planted
+    pair list is SQL-expressible, so the oracle pins the passing outcome:
+    any missed pair hash-mismatches in the driver."""
+    ids = _planted_ids(sf_dir)
+    pairs = minhash_lsh_candidates(
+        [_planted_dup_path(sf_dir)], jaccard_threshold=0.7
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ok = [(d, d + _PLANTED_OFFSET) in found for d in ids]
+    return _planted_pair_frame(ids, ok, "found")
+
+
+def simhash_recall_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash-banding recall gate: planted identical pairs have Hamming
+    distance 0 and must survive the 6-block/choose-3 banding + verify."""
+    from ..stages.dedup import simhash_near_dups
+
+    ids = _planted_ids(sf_dir)
+    pairs = simhash_near_dups(
+        [_planted_dup_path(sf_dir)], max_hamming=3).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ok = [(d, d + _PLANTED_OFFSET) in found for d in ids]
+    return _planted_pair_frame(ids, ok, "found")
+
+
+def cluster_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """Cluster-assignment gate: each planted duplicate must land in the SAME
+    cluster as its original (keeper equality — robust to organic near-dup
+    merges, which only grow the shared component)."""
+    from ..stages.dedup import minhash_dedup_clusters
+
+    ids = _planted_ids(sf_dir)
+    cl = minhash_dedup_clusters(
+        [_planted_dup_path(sf_dir)], jaccard_threshold=0.7)
+    keeper = dict(zip(cl["doc_id"], cl["keeper_id"]))
+    ok = [
+        keeper.get(d) is not None
+        and keeper.get(d) == keeper.get(d + _PLANTED_OFFSET)
+        for d in ids
+    ]
+    return _planted_pair_frame(ids, ok, "same_cluster")
+
+
+def fingerprint_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """Fingerprint determinism gate: byte-identical texts must produce
+    identical rolling fingerprints even when processed in different batches
+    / workers (cross-batch determinism made driver-checkable)."""
+    ds = ray.data.read_parquet([_planted_dup_path(sf_dir)],
+                               columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": rolling_fingerprint(t["text"])}
+        )
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    fps = dict(zip(out["doc_id"], out["fingerprint"]))
+    ids = _planted_ids(sf_dir)
+    ok = [fps.get(d) == fps.get(d + _PLANTED_OFFSET) for d in ids]
+    return _planted_pair_frame(ids, ok, "fp_equal")
+
+
+def hll_error_documents(sf_dir: str) -> pd.DataFrame:
+    """HLL accuracy gate: the sketch estimate must sit within max(±2,
+    5% relative) of the exact distinct count, per column. The exact side is
+    a distributed groupby-count (SQL COUNT(DISTINCT) twin), so the whole
+    row is oracle-pinned — sketch drift goes driver-red."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
+    exact = {
+        c: int(ds.select_columns([c]).groupby(c).count().count())
+        for c in ("lang", "source", "text")
+    }
+    res = summarize_records(
+        records_dataset(
+            ds, [], ProfileSpec(columns=["lang", "source", "text"],
+                                distinct_columns=["lang", "source", "text"]),
+            path_column=None,
+        )
+    )
+    rows = []
+    for c in sorted(exact):
+        est = res.profiles[c]["distinct_hll"]
+        err = abs(est - exact[c])
+        rows.append((c, exact[c], bool(err <= 2 or err / exact[c] <= 0.05)))
+    return pd.DataFrame(rows, columns=["col", "n_exact", "hll_ok"]).astype(
+        {"col": "object", "n_exact": "int64", "hll_ok": "bool"})
+
+
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct counts (A3 sketch path; exact twin is
     distinct_counts_documents)."""
@@ -1152,6 +1285,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
     "ann_ivf_recall_embeddings": ann_ivf_recall_embeddings,
     "hll_distinct_documents": hll_distinct_documents,
+    "minhash_recall_planted_documents": minhash_recall_planted_documents,
+    "simhash_recall_planted_documents": simhash_recall_planted_documents,
+    "cluster_planted_documents": cluster_planted_documents,
+    "fingerprint_planted_documents": fingerprint_planted_documents,
+    "hll_error_documents": hll_error_documents,
     "drift_events_value": drift_events_value,
 }
 
@@ -1444,5 +1582,43 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(10 AS BIGINT) AS n_topk, TRUE AS recall_ok "
         "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3) "
         "ORDER BY query_id"
+    ),
+    # Dedup-family recall gates (IVF-gate pattern): the planted pair list —
+    # byte-identical copies of the 50 lowest doc_ids at doc_id + 1e6 — is
+    # SQL-expressible, and the oracle pins the PASSING outcome. The LSH /
+    # banding / clustering / fingerprint machinery itself is not SQL; any
+    # engine-side recall or determinism regression hash-mismatches.
+    "minhash_recall_planted_documents": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id + 1000000 AS BIGINT) AS dup_id, TRUE AS found "
+        "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) "
+        "ORDER BY doc_id"
+    ),
+    "simhash_recall_planted_documents": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id + 1000000 AS BIGINT) AS dup_id, TRUE AS found "
+        "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) "
+        "ORDER BY doc_id"
+    ),
+    "cluster_planted_documents": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id + 1000000 AS BIGINT) AS dup_id, TRUE AS same_cluster "
+        "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) "
+        "ORDER BY doc_id"
+    ),
+    "fingerprint_planted_documents": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id + 1000000 AS BIGINT) AS dup_id, TRUE AS fp_equal "
+        "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) "
+        "ORDER BY doc_id"
+    ),
+    "hll_error_documents": (
+        "SELECT col, n_exact, hll_ok FROM ("
+        "SELECT 'lang' AS col, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_exact,"
+        " TRUE AS hll_ok FROM documents"
+        " UNION ALL SELECT 'source', CAST(COUNT(DISTINCT source) AS BIGINT),"
+        " TRUE FROM documents"
+        " UNION ALL SELECT 'text', CAST(COUNT(DISTINCT text) AS BIGINT),"
+        " TRUE FROM documents) ORDER BY col"
     ),
 }
