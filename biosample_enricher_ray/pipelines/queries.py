@@ -989,27 +989,32 @@ def _planted_ids(sf_dir: str, n: int = _PLANTED_N) -> np.ndarray:
     return np.sort(ids)[:n]
 
 
-def _planted_dup_path(sf_dir: str, n: int = _PLANTED_N) -> str:
-    """Deterministic augmented corpus for the dedup-family recall gates:
-    documents plus byte-identical copies of the ``n`` lowest doc_ids at
-    ``doc_id + _PLANTED_OFFSET``. Written once to /tmp (gate-scale input —
+def _planted_copy_path(sf_dir: str, table: str, id_column: str,
+                       n: int = _PLANTED_N) -> str:
+    """Deterministic augmented table for the dedup-family recall gates:
+    ``table`` plus byte-identical copies of the ``n`` lowest ids at
+    ``id + _PLANTED_OFFSET``. Written once to /tmp (gate-scale input —
     at production scale the same augmentation is a map_batches stage)."""
     import os
 
     slug = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/graft_planted/{slug}_documents_{n}.parquet"
+    out = f"/tmp/graft_planted/{slug}_{table}_{n}.parquet"
     if not os.path.exists(out):
         os.makedirs("/tmp/graft_planted", exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/documents.parquet")
-        order = pc.sort_indices(t["doc_id"].combine_chunks())
+        t = pq.read_table(f"{sf_dir}/{table}.parquet")
+        order = pc.sort_indices(t[id_column].combine_chunks())
         dup = t.take(order[:n])
-        i = dup.schema.get_field_index("doc_id")
-        dup = dup.set_column(i, "doc_id",
-                             pc.add(dup["doc_id"], _PLANTED_OFFSET))
+        i = dup.schema.get_field_index(id_column)
+        dup = dup.set_column(i, id_column,
+                             pc.add(dup[id_column], _PLANTED_OFFSET))
         tmp = f"{out}.tmp.{os.getpid()}"
         pq.write_table(pa.concat_tables([t, dup]), tmp)
         os.replace(tmp, out)
     return out
+
+
+def _planted_dup_path(sf_dir: str, n: int = _PLANTED_N) -> str:
+    return _planted_copy_path(sf_dir, "documents", "doc_id", n)
 
 
 def _planted_pair_frame(ids: np.ndarray, ok: list[bool],
@@ -1110,6 +1115,44 @@ def hll_error_documents(sf_dir: str) -> pd.DataFrame:
         rows.append((c, exact[c], bool(err <= 2 or err / exact[c] <= 0.05)))
     return pd.DataFrame(rows, columns=["col", "n_exact", "hll_ok"]).astype(
         {"col": "object", "n_exact": "int64", "hll_ok": "bool"})
+
+
+def ngram_jaccard_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact word n-gram Jaccard over 20 deterministic document pairs (the
+    LSH verification kernel as a standalone, fully SQL-checkable operator):
+    consecutive lowest doc_ids paired (0,1),(2,3),… scored at n=1 (shared
+    vocabulary — non-trivial fractions) and n=3 (shingles). The oracle
+    recomputes both from DuckDB list ops; the ratio is an exact-integer
+    division so both sides produce the identical IEEE double."""
+    from ..stages.dedup import verify_pairs_ngram_jaccard
+
+    ids = _planted_ids(sf_dir, 40)
+    pairs = pd.DataFrame({"id_a": ids[0::2].astype("int64"),
+                          "id_b": ids[1::2].astype("int64")})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = verify_pairs_ngram_jaccard(ds, pairs, n=(1, 3))
+    return out.sort_values("id_a", ignore_index=True)
+
+
+def embedding_near_dup_planted_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup gate, full pair-list contract: the planted
+    byte-identical vector copies (cosine 1.0) are the ONLY pairs at
+    threshold 0.95 (organic max pairwise cosine in this corpus is ~0.6), so
+    the engine's hyperplane-LSH pair list must equal the planted list
+    exactly — both a recall miss AND a precision false-positive go
+    driver-red. Cosine values are intentionally omitted from the compared
+    frame (float32 kernel vs SQL float64)."""
+    from ..stages.ann import embedding_near_dup_pairs
+
+    path = _planted_copy_path(sf_dir, "embeddings", "vec_id")
+    first = next(pq.ParquetFile(path).iter_batches(batch_size=1))
+    dim = len(first["embedding"][0])
+    ds = ray.data.read_parquet(path)
+    pairs = embedding_near_dup_pairs(
+        ds, dim=dim, threshold=0.95, id_column="vec_id"
+    ).to_pandas()
+    return (pairs[["id_a", "id_b"]].astype("int64")
+            .sort_values("id_a", ignore_index=True))
 
 
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
@@ -1290,6 +1333,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cluster_planted_documents": cluster_planted_documents,
     "fingerprint_planted_documents": fingerprint_planted_documents,
     "hll_error_documents": hll_error_documents,
+    "ngram_jaccard_pairs_documents": ngram_jaccard_pairs_documents,
+    "embedding_near_dup_planted_embeddings": embedding_near_dup_planted_embeddings,
     "drift_events_value": drift_events_value,
 }
 
@@ -1620,5 +1665,39 @@ ORACLE_SQL: dict[str, str] = {
         " TRUE FROM documents"
         " UNION ALL SELECT 'text', CAST(COUNT(DISTINCT text) AS BIGINT),"
         " TRUE FROM documents) ORDER BY col"
+    ),
+    # Exact n-gram Jaccard recomputed from DuckDB list ops (tokenization is
+    # trim + \s+ split of lower(text), identical to the engine kernel on the
+    # all-ASCII corpus; ratio = exact-integer division → identical doubles).
+    "ngram_jaccard_pairs_documents": (
+        "WITH sel AS ("
+        "  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks"
+        "  FROM documents ORDER BY doc_id LIMIT 40"
+        "), num AS ("
+        "  SELECT doc_id, toks, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn"
+        "  FROM sel"
+        "), grams AS ("
+        "  SELECT doc_id, rn, list_distinct(toks) AS g1,"
+        "    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+        "         range(len(toks) - 2),"
+        "         i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))"
+        "         ELSE [array_to_string(toks, ' ')] END AS g3"
+        "  FROM num"
+        ") SELECT CAST(a.doc_id AS BIGINT) AS id_a,"
+        "  CAST(b.doc_id AS BIGINT) AS id_b,"
+        "  CAST(len(list_intersect(a.g1, b.g1)) AS DOUBLE)"
+        "    / len(list_distinct(list_concat(a.g1, b.g1))) AS jaccard_1gram,"
+        "  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)"
+        "    / len(list_distinct(list_concat(a.g3, b.g3))) AS jaccard_3gram "
+        "FROM grams a JOIN grams b ON b.rn = a.rn + 1 AND a.rn % 2 = 0 "
+        "ORDER BY id_a"
+    ),
+    # Planted-pair list IS the full expected output (see the query docstring:
+    # organic cosine tops out ~0.6 << 0.95, copies are exact).
+    "embedding_near_dup_planted_embeddings": (
+        "SELECT CAST(vec_id AS BIGINT) AS id_a, "
+        "CAST(vec_id + 1000000 AS BIGINT) AS id_b "
+        "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50) "
+        "ORDER BY id_a"
     ),
 }

@@ -1418,15 +1418,19 @@ def verify_pairs_ngram_jaccard(
     pairs: pd.DataFrame,
     text_column: str = "text",
     id_column: str = "doc_id",
-    n: int = 3,
+    n: int | tuple[int, ...] = 3,
 ) -> pd.DataFrame:
     """Exact-Jaccard verification of a (small) candidate-pair set.
 
     Fetches only the involved documents via a broadcast id-set semi-join
     (never a full materialization), then scores pairs on the driver.
+    A single ``n`` adds a ``jaccard`` column; a tuple adds one
+    ``jaccard_{k}gram`` column per entry from the same fetch.
     """
+    ns = (n,) if isinstance(n, int) else tuple(n)
+    cols = ["jaccard"] if isinstance(n, int) else [f"jaccard_{k}gram" for k in ns]
     if not len(pairs):
-        return pairs.assign(jaccard=pd.Series(dtype=float))
+        return pairs.assign(**{c: pd.Series(dtype=float) for c in cols})
     wanted = set(pairs["id_a"]) | set(pairs["id_b"])
     id_arr = pa.array(sorted(wanted))
 
@@ -1436,8 +1440,9 @@ def verify_pairs_ngram_jaccard(
     small = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     texts = dict(zip(small[id_column], small[text_column]))
     pairs = pairs.copy()
-    pairs["jaccard"] = [
-        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
+    for k, col in zip(ns, cols):
+        pairs[col] = [
+            ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k)
+            for a, b in zip(pairs["id_a"], pairs["id_b"])
+        ]
     return pairs
