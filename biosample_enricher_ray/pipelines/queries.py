@@ -453,6 +453,85 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def asof_click_view_events(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (custom-operator tier): each click event joined
+    to the SAME user's latest preceding-or-simultaneous view event, plus the
+    gap in exact microseconds. Co-partitioned union + per-group searchsorted
+    (stages/temporal.py); the oracle recomputes it with a LAST_VALUE IGNORE
+    NULLS window over the interleaved stream. Unmatched → -1."""
+    from ..stages.temporal import asof_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["event_type"], "click"),
+                             pc.less(t["user_id"], 100)))
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "ts_us": t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["event_type"], "view"),
+                             pc.less(t["user_id"], 100)))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "view_id": t["event_id"]})
+
+    out = asof_join(
+        ds.map_batches(clicks, batch_format="pyarrow"),
+        ds.map_batches(views, batch_format="pyarrow"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        left_cols=["event_id", "user_id", "ts_us"],
+        right_payload=["view_id"],
+    ).to_pandas()
+    matched = out["asof_view_id"].notna()
+    out["asof_view_id"] = out["asof_view_id"].fillna(-1).astype("int64")
+    gap = out["ts_us"] - out["asof_t"].fillna(0)
+    out["gap_us"] = np.where(matched, gap, -1).astype("int64")
+    return (out[["event_id", "user_id", "asof_view_id", "gap_us"]]
+            .astype("int64").sort_values("event_id", ignore_index=True))
+
+
+def preceding_window_count_events(sf_dir: str) -> pd.DataFrame:
+    """Range join, count form (custom-operator tier): per error event, how
+    many same-user events of any type fell in the preceding 6 hours
+    (half-open [ts-6h, ts) — the anchor never counts itself). Two binary
+    searches per anchor inside the co-partitioned group."""
+    from ..stages.temporal import window_count_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def errors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["event_type"], "error"),
+                             pc.less(t["user_id"], 100)))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def points(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["user_id"], 100))
+        return t.select(["user_id", "ts"])
+
+    out = window_count_join(
+        ds.map_batches(errors, batch_format="pyarrow"),
+        ds.map_batches(points, batch_format="pyarrow"),
+        key="user_id", anchor_ts="ts", point_ts="ts",
+        anchor_cols=["event_id", "user_id"],
+        start_offset_us=-6 * 3600 * 1_000_000, end_offset_us=0,
+    ).to_pandas()
+    out = out.rename(columns={"n_in_window": "n_preceding_6h"})
+    return out.astype("int64").sort_values("event_id", ignore_index=True)
+
+
+def sliding_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily count + 7-day sliding sum/avg (windowed-aggregate
+    tier): the tumbling rollup is the distributed part; the sliding frame
+    runs over the #days-row aggregate — oracle is the SQL ROWS BETWEEN
+    6 PRECEDING frame."""
+    from ..stages.temporal import sliding_daily_counts
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    return sliding_daily_counts(ds, "ts", window_days=7)
+
+
 def top_event_per_user(sf_dir: str) -> pd.DataFrame:
     """Best-observation argmax reduce per key (A7/O2,
     elevation/service.py:284-329): each user's highest-value event,
@@ -1306,6 +1385,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top10_orders": top10_orders,
     "customers_per_region": customers_per_region,
     "sessionize_events": sessionize_events,
+    "asof_click_view_events": asof_click_view_events,
+    "preceding_window_count_events": preceding_window_count_events,
+    "sliding_daily_events": sliding_daily_events,
     "top_event_per_user": top_event_per_user,
     "lineitem_orderdate_alignment": lineitem_orderdate_alignment,
     "union_event_halves": union_event_halves,
@@ -1691,6 +1773,53 @@ ORACLE_SQL: dict[str, str] = {
         "    / len(list_distinct(list_concat(a.g3, b.g3))) AS jaccard_3gram "
         "FROM grams a JOIN grams b ON b.rn = a.rn + 1 AND a.rn % 2 = 0 "
         "ORDER BY id_a"
+    ),
+    # As-of join recomputed as a LAST_VALUE IGNORE NULLS carry over the
+    # interleaved per-user stream; at equal timestamps views sort before
+    # clicks (<= inclusive) and ties break on max view_id — identical to the
+    # engine's (ts, payload) sort + searchsorted(side='right').
+    "asof_click_view_events": (
+        "WITH u AS ("
+        "  SELECT user_id AS k, ts AS t, event_id, NULL::BIGINT AS vid"
+        "  FROM events WHERE event_type = 'click' AND user_id < 100"
+        "  UNION ALL"
+        "  SELECT user_id, ts, NULL, event_id"
+        "  FROM events WHERE event_type = 'view' AND user_id < 100"
+        "), w AS ("
+        "  SELECT k, t, event_id,"
+        "    last_value(vid IGNORE NULLS) OVER win AS asof_vid,"
+        "    last_value(CASE WHEN event_id IS NULL THEN t END IGNORE NULLS)"
+        "      OVER win AS asof_t"
+        "  FROM u WINDOW win AS ("
+        "    PARTITION BY k ORDER BY t ASC, (event_id IS NULL) DESC, vid ASC"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ") SELECT CAST(event_id AS BIGINT) AS event_id,"
+        "  CAST(k AS BIGINT) AS user_id,"
+        "  CAST(COALESCE(asof_vid, -1) AS BIGINT) AS asof_view_id,"
+        "  CAST(COALESCE(epoch_us(t) - epoch_us(asof_t), -1) AS BIGINT) AS gap_us "
+        "FROM w WHERE event_id IS NOT NULL ORDER BY event_id"
+    ),
+    "preceding_window_count_events": (
+        "SELECT CAST(a.event_id AS BIGINT) AS event_id,"
+        " CAST(a.user_id AS BIGINT) AS user_id,"
+        " CAST(COUNT(b.event_id) AS BIGINT) AS n_preceding_6h "
+        "FROM events a LEFT JOIN events b"
+        " ON b.user_id = a.user_id"
+        " AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts < a.ts"
+        " AND b.user_id < 100 "
+        "WHERE a.event_type = 'error' AND a.user_id < 100 "
+        "GROUP BY 1, 2 ORDER BY 1"
+    ),
+    "sliding_daily_events": (
+        "WITH daily AS ("
+        "  SELECT strftime(ts, '%Y-%m-%d') AS day,"
+        "    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+        ") SELECT day, n,"
+        "  CAST(SUM(n) OVER win AS BIGINT) AS sum_7d,"
+        "  CAST(SUM(n) OVER win AS DOUBLE) / COUNT(n) OVER win AS avg_7d "
+        "FROM daily WINDOW win AS ("
+        "  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
+        "ORDER BY day"
     ),
     # Planted-pair list IS the full expected output (see the query docstring:
     # organic cosine tops out ~0.6 << 0.95, copies are exact).
