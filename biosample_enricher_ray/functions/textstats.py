@@ -9,17 +9,13 @@ precision scorers (adapters.py:355-382), and quality tiers
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 # BPE-ish token pattern: words-with-apostrophes, numbers, or single non-space
 # symbols — the usual pre-tokenizer shape.
 TOKEN_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
-_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic (the reference's keyword-set classification pattern,
@@ -48,12 +44,11 @@ def whitespace_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def regex_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """BPE-ish pre-tokenizer count (compiled regex, pandas str engine)."""
+    """BPE-ish pre-tokenizer count (Arrow RE2 kernel, zero object boxing)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("")
-    counts = s.str.count(TOKEN_PATTERN)
-    return pa.array(counts.astype("int64").to_numpy())
+    filled = pc.fill_null(texts, "")
+    return pc.count_substring_regex(filled, TOKEN_PATTERN).cast(pa.int64())
 
 
 def quality_features(
@@ -74,20 +69,24 @@ def quality_features(
     n_chars = pc.utf8_length(filled).cast(pa.int64())
     n_tokens = whitespace_token_count(texts)
 
-    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("")
-    n_alpha = s.str.count(r"[A-Za-z]")
-    n_punct = s.str.count(r"[^\w\s]")
-    n_upper = s.str.count(r"[A-Z]")
-    n_stop = s.str.lower().str.count(
-        r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
-    )
+    # Arrow RE2 kernels over the flat UTF-8 buffer — no object boxing (the
+    # round-2 pandas passes were the last non-Arrow hot kernels). RE2 word
+    # semantics (\b, \w are ASCII) — the SAME engine DuckDB uses, so the
+    # generated oracle SQL and this kernel share regex semantics exactly.
+    n_alpha = pc.count_substring_regex(filled, r"[A-Za-z]").to_numpy()
+    n_punct = pc.count_substring_regex(filled, r"[^\w\s]").to_numpy()
+    n_upper = pc.count_substring_regex(filled, r"[A-Z]").to_numpy()
+    n_stop = pc.count_substring_regex(
+        pc.utf8_lower(filled),
+        r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b",
+    ).to_numpy()
 
     chars = np.maximum(np.asarray(n_chars), 1)
     toks = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
-    alpha_ratio = n_alpha.to_numpy() / chars
-    punct_ratio = n_punct.to_numpy() / chars
-    upper_ratio = np.where(n_alpha.to_numpy() > 0, n_upper.to_numpy() / np.maximum(n_alpha.to_numpy(), 1), 0.0)
-    stop_ratio = n_stop.to_numpy() / toks
+    alpha_ratio = n_alpha / chars
+    punct_ratio = n_punct / chars
+    upper_ratio = np.where(n_alpha > 0, n_upper / np.maximum(n_alpha, 1), 0.0)
+    stop_ratio = n_stop / toks
     mean_token_len = chars / toks
 
     # 0-100 score: alphabetic-ness, sane punctuation, some stopwords, sane
@@ -120,23 +119,30 @@ def quality_features(
 def detect_language(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Stopword-profile language ID over the supported set; 'und' if no hit.
 
-    Vectorized per language: one compiled alternation count per profile, the
-    argmax wins (ties → first by language order). Deterministic.
+    Vectorized per language: one RE2 alternation count per profile (Arrow
+    ``count_substring_regex`` over the flat buffer — no object boxing), the
+    argmax wins (ties → first by language order). Deterministic. RE2 word
+    boundaries are ASCII — identical to DuckDB's regexp engine; the only
+    divergence from Python ``re`` is a non-ASCII-EDGED stopword ('è', 'é')
+    adjacent to spaces, which cannot match under RE2 on either side.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    s = pd.Series(texts.to_numpy(zero_copy_only=False)).fillna("").str.lower()
-    toks = np.maximum(s.str.count(r"\S+").to_numpy(), 1)
+    filled = pc.fill_null(texts, "")
+    low = pc.utf8_lower(filled)
+    toks = np.maximum(
+        pc.count_substring_regex(low, r"\S+").to_numpy(), 1
+    )
     langs = list(LANG_STOPWORDS)
-    scores = np.zeros((len(langs), len(s)))
+    scores = np.zeros((len(langs), len(low)))
     for i, lang in enumerate(langs):
         pat = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS[lang])) + r")\b"
-        scores[i] = s.str.count(pat).to_numpy() / toks
+        scores[i] = pc.count_substring_regex(low, pat).to_numpy() / toks
     best = scores.argmax(axis=0)
     best_score = scores.max(axis=0)
     out = np.array(langs, dtype=object)[best]
     out[best_score < 0.08] = "und"
-    out[s.str.len().to_numpy() == 0] = None
+    out[pc.utf8_length(filled).to_numpy(zero_copy_only=False) == 0] = None
     return pa.array(out, pa.string())
 
 
