@@ -1234,6 +1234,48 @@ def embedding_near_dup_planted_embeddings(sf_dir: str) -> pd.DataFrame:
             .sort_values("id_a", ignore_index=True))
 
 
+_MAGIC_BY_MOD = {0: b"\x89PNG\r\n\x1a\n", 1: b"\xff\xd8\xff", 2: b"GIF89a"}
+
+
+def binary_features_documents(sf_dir: str) -> pd.DataFrame:
+    """Multimodal binary-column features (REAL, codec-free): payloads built
+    deterministically as magic-prefix(doc_id % 4) + UTF-8 text, then the
+    BinaryFeatures actor stage computes byte count, distinct bytes, Shannon
+    entropy and magic-byte sniffing — the content-type gate before a decode.
+    The oracle rebuilds the same payloads with BLOB concat and recomputes
+    every feature from hex pairs in SQL; entropy is compared at
+    floor-half-up millibits (term-summation order differs engine↔SQL)."""
+    from ..stages.multimodal import BinaryFeatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        prefixes = pa.array(
+            [_MAGIC_BY_MOD.get(int(i) % 4, b"") for i in t["doc_id"].to_numpy()],
+            pa.binary(),
+        )
+        payload = pc.binary_join_element_wise(
+            prefixes, t["text"].combine_chunks().cast(pa.binary()),
+            pa.scalar(b"", pa.binary()),
+        )
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    out = (
+        ds.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(BinaryFeatures, batch_format="pyarrow",
+                     concurrency=_pool())
+        .select_columns(["doc_id", "n_bytes", "n_distinct_bytes", "entropy",
+                         "sniffed_format"])
+        .to_pandas()
+    )
+    out["entropy_milli"] = np.floor(out["entropy"] * 1000.0 + 0.5).astype("int64")
+    out = out.drop(columns=["entropy"]).rename(columns={"sniffed_format": "sniffed"})
+    for c in ("doc_id", "n_bytes", "n_distinct_bytes"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "n_bytes", "n_distinct_bytes", "entropy_milli", "sniffed"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
 def hll_distinct_documents(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct counts (A3 sketch path; exact twin is
     distinct_counts_documents)."""
@@ -1416,6 +1458,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprint_planted_documents": fingerprint_planted_documents,
     "hll_error_documents": hll_error_documents,
     "ngram_jaccard_pairs_documents": ngram_jaccard_pairs_documents,
+    "binary_features_documents": binary_features_documents,
     "embedding_near_dup_planted_embeddings": embedding_near_dup_planted_embeddings,
     "drift_events_value": drift_events_value,
 }
@@ -1820,6 +1863,39 @@ ORACLE_SQL: dict[str, str] = {
         "FROM daily WINDOW win AS ("
         "  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
         "ORDER BY day"
+    ),
+    # Binary features recomputed entirely in SQL: same deterministic payload
+    # (BLOB magic || encode(text)), per-byte frequencies from hex pairs,
+    # entropy via the SAME algebra (log2(n) - SUM(c*log2 c)/n) quantized to
+    # millibits floor-half-up on both sides.
+    "binary_features_documents": (
+        "WITH payload AS ("
+        "  SELECT doc_id, hex(CASE doc_id % 4"
+        "    WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)"
+        "    WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)"
+        "    WHEN 2 THEN 'GIF89a'::BLOB || encode(text)"
+        "    ELSE encode(text) END) AS h"
+        "  FROM documents"
+        "), freq AS ("
+        "  SELECT doc_id, len(h) // 2 AS n,"
+        "    substring(h, 2 * i.i - 1, 2) AS b, COUNT(*) AS c"
+        "  FROM payload, unnest(range(1, len(h) // 2 + 1)) AS i(i)"
+        "  GROUP BY 1, 2, 3"
+        "), ent AS ("
+        "  SELECT doc_id, ANY_VALUE(n) AS n_bytes,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,"
+        "    log2(CAST(ANY_VALUE(n) AS DOUBLE))"
+        "      - SUM(c * log2(CAST(c AS DOUBLE))) / ANY_VALUE(n) AS entropy"
+        "  FROM freq GROUP BY doc_id"
+        ") SELECT CAST(e.doc_id AS BIGINT) AS doc_id,"
+        "  CAST(e.n_bytes AS BIGINT) AS n_bytes, e.n_distinct_bytes,"
+        "  CAST(FLOOR(e.entropy * 1000 + 0.5) AS BIGINT) AS entropy_milli,"
+        "  CASE WHEN substring(pl.h, 1, 16) = '89504E470D0A1A0A' THEN 'png'"
+        "       WHEN substring(pl.h, 1, 6) = 'FFD8FF' THEN 'jpeg'"
+        "       WHEN substring(pl.h, 1, 12) IN ('474946383761', '474946383961')"
+        "         THEN 'gif'"
+        "       ELSE 'unknown' END AS sniffed "
+        "FROM ent e JOIN payload pl USING (doc_id) ORDER BY doc_id"
     ),
     # Planted-pair list IS the full expected output (see the query docstring:
     # organic cosine tops out ~0.6 << 0.95, copies are exact).

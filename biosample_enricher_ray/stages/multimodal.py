@@ -116,3 +116,104 @@ class AudioFrameSampler:
                 "features": pa.array(feats, pa.list_(pa.float32())),
             }
         )
+
+
+class BinaryFeatures:
+    """Actor-pool stage: REAL byte-level features for opaque binary columns
+    (no codec needed, unlike the stubbed decoders above): exact byte count,
+    distinct-byte count, Shannon entropy (bits/byte), and magic-byte format
+    sniffing — the content-type gate a multimodal ingest runs before paying
+    for a decode (corrupt/mislabeled payloads are filtered on these).
+
+    Fully vectorized over the Arrow binary column's flat buffers: per-row
+    256-bin histograms via ONE ``np.bincount`` per row-chunk (row chunks keep
+    the scatter index cache-resident — the BASELINE.md sub-chunking rule),
+    prefix sniffing via an (n, 8) gather. No per-row Python loop.
+
+    Null payload → all-null features; empty payload → zeros with null
+    entropy (undefined) and 'unknown' format.
+    """
+
+    MAGICS: tuple[tuple[bytes, str], ...] = (
+        (b"\x89PNG\r\n\x1a\n", "png"),
+        (b"\xff\xd8\xff", "jpeg"),
+        (b"GIF87a", "gif"),
+        (b"GIF89a", "gif"),
+        (b"RIFF", "riff"),
+        (b"%PDF", "pdf"),
+        (b"PK\x03\x04", "zip"),
+    )
+    _PREFIX = 8
+
+    def __init__(self, payload_column: str = "payload",
+                 chunk_rows: int = 4096) -> None:
+        self.payload_column = payload_column
+        self.chunk_rows = chunk_rows
+        self._magics = [(np.frombuffer(m, np.uint8), name)
+                        for m, name in self.MAGICS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        raw_off = np.frombuffer(col.buffers()[1], off_dtype)
+        offsets = raw_off[col.offset: col.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        lengths = np.diff(offsets)
+        is_null = col.is_null().to_numpy(zero_copy_only=False)
+
+        n_distinct = np.zeros(n, np.int64)
+        clogc = np.zeros(n, np.float64)
+        for s in range(0, n, self.chunk_rows):
+            e = min(s + self.chunk_rows, n)
+            seg = data[offsets[s]: offsets[e]]
+            if not len(seg):
+                continue
+            rid = np.repeat(np.arange(e - s, dtype=np.int64), lengths[s:e])
+            hist = np.bincount(
+                rid * 256 + seg, minlength=(e - s) * 256
+            ).reshape(e - s, 256)
+            n_distinct[s:e] = (hist > 0).sum(axis=1)
+            c = hist.astype(np.float64)
+            clogc[s:e] = np.where(
+                hist > 0, c * np.log2(np.where(hist > 0, c, 1.0)), 0.0
+            ).sum(axis=1)
+
+        nb = lengths.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            entropy = np.where(lengths > 0, np.log2(np.maximum(nb, 1.0))
+                               - clogc / np.maximum(nb, 1.0), np.nan)
+
+        idx = offsets[:-1, None] + np.arange(self._PREFIX)
+        valid = idx < offsets[1:, None]
+        prefix = np.zeros((n, self._PREFIX), np.uint8)
+        prefix[valid] = data[idx[valid]]
+        sniffed = np.full(n, "unknown", dtype=object)
+        unresolved = np.ones(n, bool)
+        for m, name in self._magics:
+            hit = unresolved & (lengths >= len(m)) \
+                & (prefix[:, : len(m)] == m).all(axis=1)
+            sniffed[hit] = name
+            unresolved &= ~hit
+        sniffed[is_null] = None
+
+        mask = pa.array(~is_null)
+        features = {
+            "n_bytes": pc_if(mask, lengths, None, pa.int64()),
+            "n_distinct_bytes": pc_if(mask, n_distinct, None, pa.int64()),
+            "entropy": pc_if(pa.array(~is_null & (lengths > 0)), entropy,
+                             None, pa.float64()),
+            "sniffed_format": pa.array(sniffed, pa.string()),
+        }
+        for name, arr in features.items():
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+def pc_if(mask: pa.Array, values: "np.ndarray", _null, typ: pa.DataType) -> pa.Array:
+    """Null-out positions where mask is False (binary-features null policy)."""
+    import pyarrow.compute as _pc
+
+    return _pc.if_else(mask, pa.array(values).cast(typ), pa.scalar(None, typ))

@@ -344,3 +344,36 @@ def test_ivf_topk_recall_and_determinism(sf001_dir):
         assert recall >= 0.5, (qi, recall)
         top = approx[(approx["query_id"] == qi) & (approx["rank"] == 0)].iloc[0]
         assert top["vec_id"] == pdf["vec_id"][qi]  # self found despite probing
+
+
+def test_binary_features_stage():
+    from biosample_enricher_ray.stages.multimodal import BinaryFeatures
+
+    payloads = [b"\x89PNG\r\n\x1a\nxx", b"\xff\xd8\xffyy", b"GIF87az",
+                b"GIF89az", b"RIFFwave", b"%PDF-1.7", b"PK\x03\x04zz",
+                b"plain", b"", None, b"\x00\x00\x00\x00"]
+    for typ in (pa.binary(), pa.large_binary()):
+        t = pa.table({"payload": pa.array(payloads, typ)})
+        out = BinaryFeatures(chunk_rows=3)(t).to_pandas()
+        assert out["sniffed_format"].tolist() == [
+            "png", "jpeg", "gif", "gif", "riff", "pdf", "zip",
+            "unknown", "unknown", None, "unknown"]
+        assert out["n_bytes"].tolist()[:3] == [10, 5, 7]
+        assert out["n_distinct_bytes"].iloc[10] == 1      # all zero bytes
+        assert out["entropy"].iloc[10] == 0.0             # degenerate dist
+        assert pd.isna(out["entropy"].iloc[8])            # empty payload
+        assert pd.isna(out["n_bytes"].iloc[9])            # null payload
+        # entropy of a uniform 4-symbol payload is exactly 2 bits
+        u = BinaryFeatures()(pa.table({"payload": pa.array([b"abcd"], typ)}))
+        assert u["entropy"].to_pylist() == [2.0]
+
+
+def test_binary_features_sliced_input():
+    from biosample_enricher_ray.stages.multimodal import BinaryFeatures
+
+    arr = pa.array([b"aaaa", b"\x89PNG\r\n\x1a\nbb", b"abab", b"x"], pa.binary())
+    whole = BinaryFeatures()(pa.table({"payload": arr})).to_pandas()
+    part = BinaryFeatures()(pa.table({"payload": arr.slice(1, 2)})).to_pandas()
+    assert part["sniffed_format"].tolist() == ["png", "unknown"]
+    assert part["n_bytes"].tolist() == whole["n_bytes"].tolist()[1:3]
+    assert part["entropy"].tolist() == whole["entropy"].tolist()[1:3]
