@@ -371,6 +371,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_pairs_documents",
         "hll_distinct_documents",
         "drift_events_value",
+        # round-3 operators
+        "asof_click_view_events",
+        "preceding_window_count_events",
+        "sliding_daily_events",
+        "ngram_jaccard_pairs_documents",
+        "binary_features_documents",
     ]
     out = {}
     for name in names:
