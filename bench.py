@@ -377,6 +377,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "sliding_daily_events",
         "ngram_jaccard_pairs_documents",
         "binary_features_documents",
+        "source_cap_documents",
+        "curation_pipeline_documents",
     ]
     out = {}
     for name in names:
@@ -526,10 +528,16 @@ def main() -> None:
             "rows_per_sec_8": best["rows_per_sec_8"],
             "rows_per_sec_32": best["rows_per_sec_32"],
             "rows": SCALING_ROWS,
+            # min-of-K timed runs inside each leg (GRAFT_BENCH_REPEAT):
+            # filters sub-minute host-contention bursts that hit one run of
+            # a leg but not its sibling — measured 2.2x wall spread between
+            # identical back-to-back 32-CPU legs on this VM
+            "leg_repeat": int(os.environ.get("GRAFT_BENCH_REPEAT", "1")),
             "protocol": "median of interleaved pairs (both legs + a pure-"
                         "numpy worker-throughput host ceiling share one "
                         "weather window per pair); best pair and per-pair "
-                        "ceilings disclosed",
+                        "ceilings disclosed; each leg is min-of-leg_repeat "
+                        "timed runs",
             "pairs": pairs,
         }))
         return

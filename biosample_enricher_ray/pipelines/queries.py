@@ -1373,14 +1373,106 @@ def _lang_id_oracle_sql() -> str:
     )
 
 
-def _quality_oracle_sql() -> str:
-    """Quality-score formula (functions/textstats.py quality_features)
-    transcribed into SQL; ASCII corpus makes RE2 and Python regex agree."""
+def source_cap_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source cap: keep the 10 longest docs per source,
+    ties broken by lowest doc_id — the per-domain frequency-capping /
+    stratified-sampling operator of a training-data pipeline (task brief;
+    reference analog: the bounded per-collection sample,
+    schema_inference.py:23). Map-side partial cap bounds the shuffle at
+    k rows per (source, map task); SQL twin is ROW_NUMBER() <= k."""
+    from ..stages.shuffle import deterministic_group_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = deterministic_group_cap(
+        ds, "source", k=10, rank_columns=["n_chars", "doc_id"],
+        ascending=[False, True],
+    ).to_pandas()
+    out = out[["doc_id", "source", "n_chars"]].sort_values(["source", "doc_id"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def curation_pipeline_documents(sf_dir: str) -> pd.DataFrame:
+    """Flagship end-to-end corpus curation: quality gate (q100 >= 7800) +
+    language gate (lang = 'en') → exact dedup over the survivors (keeper =
+    min doc_id per distinct text) → per-source cap (3 longest) → per-source
+    summary (n_kept, sum_chars). Four oracle-proven operators composed in
+    one run — the pipeline a training-data user actually ships.
+
+    Scale notes: the gate is a streaming map_batches filter; dedup is the
+    key-only-shuffle exact_dedup_groups over the LAZY filtered dataset (the
+    filter re-executes on the candidate re-scan — deterministic); the keeper
+    id-list joins back via broadcast here (sorted searchsorted filter), with
+    the shuffle semi-join (stages/shuffle.py) as the web-scale path when the
+    keeper list outgrows broadcast; the cap's map-side partial keeps the
+    final shuffle at k rows per (source, task)."""
+    from ..stages.shuffle import deterministic_group_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        raw = quality_features(t["text"], score_decimals=None)["quality_score"]
+        # floor(raw*100 + 0.5): the exact integer-centi-score quantization
+        # shared with the quality_documents oracle — no library rounding
+        q100 = np.floor(
+            raw.to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = pc.and_(
+            pc.equal(pc.fill_null(t["lang"], ""), "en"),
+            pa.array(q100 >= 7800),
+        )
+        kept = t.filter(keep)
+        return pa.table({"doc_id": kept["doc_id"], "text": kept["text"]})
+
+    filtered = ds.map_batches(gate, batch_format="pyarrow")
+    keep_ids = np.sort(
+        exact_dedup_groups(filtered).to_pandas()["keep_id"].to_numpy(dtype=np.int64)
+    )
+    ids_ref = ray.put(keep_ids)
+
+    class KeeperMeta:
+        """Broadcast semi-join: metadata rows of keeper docs only."""
+
+        def __init__(self) -> None:
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.ids.size == 0:
+                return t.slice(0, 0)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(self.ids, ids), 0, self.ids.size - 1)
+            return t.filter(pa.array(self.ids[pos] == ids))
+
+    meta = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]).map_batches(
+        KeeperMeta, batch_format="pyarrow", concurrency=_pool()
+    )
+    capped = deterministic_group_cap(
+        meta, "source", k=3, rank_columns=["n_chars", "doc_id"],
+        ascending=[False, True],
+    )
+    out = (
+        capped.groupby("source")
+        .aggregate(Count(alias_name="n_kept"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "n_kept", "sum_chars"]].sort_values("source").reset_index(drop=True)
+
+
+def _q100_sql_ctes(passthrough: list[str]) -> str:
+    """CTE chain ``f, g, s`` computing the per-document integer centi-score
+    ``q100`` (the quality_features formula in SQL, RE2 semantics on both
+    sides) with ``passthrough`` document columns carried into ``s`` — shared
+    by the quality-aggregate oracle and the curation-pipeline oracle so both
+    stay formula-identical to the engine kernel."""
     from ..functions.textstats import LANG_STOPWORDS
 
     stop_pat = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
+    cols = ", ".join(passthrough)
     return (
-        "WITH f AS (SELECT source, "
+        f"f AS (SELECT {cols}, "
         "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nc, "
         "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, "
@@ -1388,19 +1480,27 @@ def _quality_oracle_sql() -> str:
         "len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS np, "
         f"len(regexp_extract_all(lower(COALESCE(text, '')), '{stop_pat}')) AS ns "
         "FROM documents), "
-        "g AS (SELECT source, nc, GREATEST(nc, 1) AS chars, "
+        f"g AS (SELECT {cols}, nc, GREATEST(nc, 1) AS chars, "
         "GREATEST(ntok, 1) AS toks, na, np, ns FROM f), "
         # floor(raw*100 + 0.5): exact IEEE ops on a raw score that is
         # bit-identical between numpy and DuckDB — no library decimal
         # rounding anywhere in the quantization
-        "s AS (SELECT source, CASE WHEN nc = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"s AS (SELECT {cols}, CASE WHEN nc = 0 THEN CAST(0 AS BIGINT) ELSE "
         "CAST(FLOOR(("
         "30.0 * LEAST(GREATEST((na / chars) / 0.7, 0), 1) + "
         "20.0 * (1.0 - LEAST(GREATEST(((np / chars) - 0.08) / 0.3, 0), 1)) + "
         "20.0 * LEAST(GREATEST((ns / toks) / 0.25, 0), 1) + "
         "15.0 * (1.0 - LEAST(GREATEST(ABS((chars / toks) - 5.5) / 8.0, 0), 1)) + "
         "15.0 * LEAST(GREATEST(nc / 500.0, 0), 1)) * 100.0 + 0.5) AS BIGINT) "
-        "END AS q100 FROM g) "
+        "END AS q100 FROM g)"
+    )
+
+
+def _quality_oracle_sql() -> str:
+    """Quality-score formula (functions/textstats.py quality_features)
+    transcribed into SQL; ASCII corpus makes RE2 and Python regex agree."""
+    return (
+        "WITH " + _q100_sql_ctes(["source"]) + " "
         # floor-half-up over the exact integer centi-sum: identical IEEE ops
         # both sides, no library decimal rounding anywhere
         "SELECT source, FLOOR(CAST(SUM(q100) AS BIGINT) * 10.0 / COUNT(*) + 0.5) "
@@ -1440,6 +1540,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
     "props_key_profile_events": props_key_profile_events,
     "cosine_scores_embeddings": cosine_scores_embeddings,
+    "source_cap_documents": source_cap_documents,
+    "curation_pipeline_documents": curation_pipeline_documents,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
     "lang_id_documents": lang_id_documents,
@@ -1729,6 +1831,26 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "lang_id_documents": _lang_id_oracle_sql(),
     "quality_documents": _quality_oracle_sql(),
+    "source_cap_documents": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10 ORDER BY source, doc_id"
+    ),
+    "curation_pipeline_documents": (
+        "WITH " + _q100_sql_ctes(["doc_id", "text", "lang", "source", "n_chars"]) + ", "
+        "flt AS (SELECT * FROM s WHERE COALESCE(lang, '') = 'en' "
+        "AND q100 >= 7800), "
+        "d AS (SELECT MIN(doc_id) AS doc_id FROM flt GROUP BY text), "
+        "kk AS (SELECT m.doc_id, m.source, m.n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY m.source "
+        "ORDER BY m.n_chars DESC, m.doc_id) AS rn "
+        "FROM documents m JOIN d USING (doc_id)) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM kk WHERE rn <= 3 GROUP BY source ORDER BY source"
+    ),
     "ann_topk_embeddings": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
         "           WHERE vec_id < 3),"

@@ -56,6 +56,61 @@ def salted_group_count(
     return merged
 
 
+def deterministic_group_cap(
+    ds: ray.data.Dataset,
+    key_column: str,
+    *,
+    k: int,
+    rank_columns: list[str],
+    ascending: list[bool],
+) -> ray.data.Dataset:
+    """Keep at most ``k`` rows per key, chosen deterministically by rank
+    order — the per-domain cap / stratified-sample operator of a
+    training-data pipeline ("at most k docs per source, prefer the longest";
+    SQL twin: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ranks) <= k``).
+
+    Scale shape: a map-side PARTIAL cap first — each batch keeps at most k
+    rows per key it contains (one vectorized mergesort + per-group
+    cumcount), because a row outside its batch's local top-k can never be in
+    the global top-k. The shuffle therefore moves at most k rows per
+    (key, map task) regardless of group size; the ``groupby(key)`` reducer
+    re-applies the identical rank over the survivors. A zipf-hot key ships
+    k × n_tasks rows, never its full group — no salting needed because the
+    combiner is the cap itself.
+
+    Rank order must be total for determinism: include a unique tie-break
+    column (e.g. the id) in ``rank_columns``. Null keys must be dropped
+    upstream (Ray's sort-based groupby partitioning raises on null keys —
+    same contract as salted_group_count).
+    """
+    if len(rank_columns) != len(ascending):
+        raise ValueError("rank_columns and ascending must align")
+
+    def partial_cap(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        # mergesort = stable; with a unique tie-break column the order is
+        # total, so stability is belt-and-braces, not load-bearing
+        df = df.sort_values(
+            [key_column] + rank_columns,
+            ascending=[True] + list(ascending),
+            kind="mergesort",
+        )
+        rn = df.groupby(key_column, sort=False).cumcount()
+        return df[rn.to_numpy() < k]
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(rank_columns, ascending=list(ascending),
+                          kind="mergesort")
+        return g.head(k).reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial_cap, batch_format="pandas")
+        .groupby(key_column)
+        .map_groups(final_cap, batch_format="pandas")
+    )
+
+
 def parquet_key_uniqueness(
     paths: list[str], column: str, *, num_buckets: int | None = None,
     files_per_task: int = 2,

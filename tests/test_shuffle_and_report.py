@@ -136,3 +136,68 @@ def test_html_dashboard_sink(tmp_path, corpus_dir):
     # every drawn bin count equals the sketch's (non-empty plot, exact data)
     col, svg = next(iter(dists.items()))
     assert res.profiles[col]["_hist"].total > 0
+
+
+def test_deterministic_group_cap_matches_row_number_semantics():
+    """Cap == ROW_NUMBER() OVER (PARTITION BY key ORDER BY ranks) <= k,
+    independent of batch layout (the map-side partial cap must not change
+    the result)."""
+    import numpy as np
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.shuffle import deterministic_group_cap
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 7, n).astype(str),
+            "score": rng.integers(0, 50, n),  # heavy ties -> tie-break matters
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    expected = (
+        df.sort_values(["key", "score", "rid"], ascending=[True, False, True])
+        .groupby("key")
+        .head(13)
+        .sort_values(["key", "rid"])
+        .reset_index(drop=True)
+    )
+    for blocks in (1, 17):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            deterministic_group_cap(
+                ds, "key", k=13, rank_columns=["score", "rid"],
+                ascending=[False, True],
+            )
+            .to_pandas()
+            .sort_values(["key", "rid"])
+            .reset_index(drop=True)[expected.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, expected)
+
+
+def test_deterministic_group_cap_partial_bounds_shuffle_rows():
+    """The map-side partial cap keeps <= k rows per key per batch — the
+    property that bounds a hot key's shuffle volume at k x n_tasks."""
+    import numpy as np
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.shuffle import deterministic_group_cap
+
+    # one mega-hot key across many batches
+    df = pd.DataFrame(
+        {
+            "key": ["hot"] * 4000 + ["cold"] * 10,
+            "score": np.arange(4010, dtype=np.int64),
+            "rid": np.arange(4010, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = deterministic_group_cap(
+        ds, "key", k=5, rank_columns=["score", "rid"], ascending=[False, True]
+    ).to_pandas()
+    assert len(out) == 10
+    hot = out[out["key"] == "hot"]
+    # top-5 scores of the hot key survive exactly
+    assert sorted(hot["score"]) == list(range(4000 - 5, 4000))
