@@ -168,3 +168,56 @@ def test_checkpointed_violation_cap_and_sink(tmp_path, corpus_dir):
     assert len(manifest["resumed_partitions"]) == 3
     assert len(pq.read_table(sink2)) == total
     assert result2.violations_sorted().equals(result.violations_sorted())
+
+
+def test_write_partitioned_resumable(tmp_path, corpus_dir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biosample_enricher_ray.state.checkpoint import write_partitioned_resumable
+
+    paths = _paths(corpus_dir)
+    out = str(tmp_path / "sink")
+
+    def upper_lang(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", pc.utf8_upper(t["lang"])
+        )
+
+    r1 = write_partitioned_resumable(
+        paths, out, transform=upper_lang, transform_id="v1",
+        columns=["url", "lang"], files_per_partition=1,
+    )
+    assert r1["written"] == len(paths) and r1["skipped"] == 0
+    files = sorted(glob.glob(f"{out}/data/part-*.parquet"))
+    assert len(files) == len(paths)  # one file per partition, never one giant
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == r1["rows_written"] > 0
+    assert pq.read_table(files[0])["lang"].to_pylist()[0].isupper()
+
+    # rerun: everything skipped, nothing rewritten
+    mtimes = [os.path.getmtime(f) for f in files]
+    r2 = write_partitioned_resumable(
+        paths, out, transform=upper_lang, transform_id="v1",
+        columns=["url", "lang"], files_per_partition=1,
+    )
+    assert r2["written"] == 0 and r2["skipped"] == len(paths)
+    assert [os.path.getmtime(f) for f in files] == mtimes
+
+    # kill simulation: drop one marker -> only that partition re-executes
+    marker = sorted(glob.glob(f"{out}/commits/*.commit.json"))[0]
+    os.remove(marker)
+    r3 = write_partitioned_resumable(
+        paths, out, transform=upper_lang, transform_id="v1",
+        columns=["url", "lang"], files_per_partition=1,
+    )
+    assert r3["written"] == 1 and r3["skipped"] == len(paths) - 1
+
+    # transform version bump invalidates ALL stale partitions
+    r4 = write_partitioned_resumable(
+        paths, out, transform=upper_lang, transform_id="v2",
+        columns=["url", "lang"], files_per_partition=1,
+    )
+    assert r4["written"] == len(paths) and r4["skipped"] == 0
