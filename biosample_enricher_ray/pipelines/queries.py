@@ -1096,6 +1096,85 @@ def _planted_dup_path(sf_dir: str, n: int = _PLANTED_N) -> str:
     return _planted_copy_path(sf_dir, "documents", "doc_id", n)
 
 
+_SPAN_TOKENS = 32
+_SPAN_PLANT_N = 25
+
+
+def _span_eligible_ids(sf_dir: str, n: int = _SPAN_PLANT_N) -> np.ndarray:
+    """Lowest n doc_ids with >= _SPAN_TOKENS whitespace tokens — the same
+    predicate the SQL oracle applies (regexp_split_to_array on \\s+)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ntok = whitespace_token_count(t["text"]).to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy()[ntok >= _SPAN_TOKENS]
+    return np.sort(ids)[:n]
+
+
+def _planted_span_path(sf_dir: str, n: int = _SPAN_PLANT_N) -> str:
+    """Augmented documents table for the shared-span recall gate: the full
+    corpus plus, per eligible planted id, a NEW doc at ``id +
+    _PLANTED_OFFSET`` whose text is exactly the first _SPAN_TOKENS tokens of
+    the original — a verbatim shared span of exactly the guarantee length,
+    so winnowing MUST pair them."""
+    import os
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/graft_planted/{slug}_documents_span_{n}.parquet"
+    if not os.path.exists(out):
+        os.makedirs("/tmp/graft_planted", exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = _span_eligible_ids(sf_dir, n)
+        order = pc.sort_indices(t["doc_id"].combine_chunks())
+        srt = t.take(order)
+        pos = np.searchsorted(srt["doc_id"].to_numpy(), ids)
+        sel = srt.take(pa.array(pos))
+        prefixes = [" ".join(s.split()[:_SPAN_TOKENS])
+                    for s in sel["text"].to_pylist()]
+        planted = pa.table({
+            "doc_id": pc.add(sel["doc_id"], _PLANTED_OFFSET),
+            "text": pa.array(prefixes, pa.string()),
+            "lang": sel["lang"],
+            "source": sel["source"],
+            "n_chars": pa.array([len(p) for p in prefixes], pa.int64()),
+        })
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.concat_tables([t.select(planted.column_names), planted]), tmp
+        )
+        os.replace(tmp, out)
+    return out
+
+
+def span_recall_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """Shared-span recall gate (substring-level dedup, winnowing guarantee):
+    each planted exact-_SPAN_TOKENS-token prefix doc must pair with its
+    original in shared_span_pairs. The planted list is SQL (token-count
+    filter + LIMIT), so any recall miss hash-mismatches in the driver."""
+    from ..stages.dedup import shared_span_pairs
+
+    ids = _span_eligible_ids(sf_dir)
+    pairs = shared_span_pairs([_planted_span_path(sf_dir)],
+                              span_tokens=_SPAN_TOKENS)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    ok = [
+        (d, d + _PLANTED_OFFSET) in found or (d + _PLANTED_OFFSET, d) in found
+        for d in ids
+    ]
+    return pd.DataFrame({
+        "doc_id": ids.astype("int64"),
+        "span_id": (ids + _PLANTED_OFFSET).astype("int64"),
+        "found": pd.array(ok, dtype="bool"),
+    })
+
+
+def shared_span_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Substring-level exact dedup over documents: pairs sharing a verbatim
+    >= 32-token run (winnowed fingerprints, 16-byte key shuffle)."""
+    from ..stages.dedup import shared_span_pairs
+
+    return shared_span_pairs([f"{sf_dir}/documents.parquet"],
+                             span_tokens=_SPAN_TOKENS)
+
+
 def _planted_pair_frame(ids: np.ndarray, ok: list[bool],
                         flag_name: str) -> pd.DataFrame:
     return pd.DataFrame({
@@ -1562,6 +1641,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ngram_jaccard_pairs_documents": ngram_jaccard_pairs_documents,
     "binary_features_documents": binary_features_documents,
     "embedding_near_dup_planted_embeddings": embedding_near_dup_planted_embeddings,
+    "span_recall_planted_documents": span_recall_planted_documents,
+    "shared_span_pairs_documents": shared_span_pairs_documents,
     "drift_events_value": drift_events_value,
 }
 
@@ -1903,6 +1984,17 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(doc_id + 1000000 AS BIGINT) AS dup_id, TRUE AS fp_equal "
         "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) "
         "ORDER BY doc_id"
+    ),
+    "span_recall_planted_documents": (
+        # same eligibility predicate as _span_eligible_ids: >= 32 whitespace
+        # tokens (regexp_split_to_array \s+ == the Arrow tokenizer on this
+        # ASCII corpus), lowest 25 ids
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id + 1000000 AS BIGINT) AS span_id, TRUE AS found "
+        "FROM (SELECT doc_id FROM documents "
+        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
     ),
     "hll_error_documents": (
         "SELECT col, n_exact, hll_ok FROM ("

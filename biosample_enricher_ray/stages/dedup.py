@@ -1446,3 +1446,203 @@ def verify_pairs_ngram_jaccard(
             for a, b in zip(pairs["id_a"], pairs["id_b"])
         ]
     return pairs
+
+
+# ------------------------------------------------- shared-span detection
+
+
+_SPAN_SEED = 23
+
+
+def _winnowed_fingerprints(
+    texts: pa.Array | pa.ChunkedArray,
+    ids: np.ndarray,
+    *,
+    span_tokens: int,
+    shingle_k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc winnowed fingerprint values → flat (fingerprint, doc_id) rows.
+
+    Every ``shingle_k``-token gram is hashed (xor of per-position odd-
+    multiplier mixes of the flat token hashes — the MinHasher gram scheme
+    with its own seed), then a window of w = span_tokens - shingle_k + 1
+    consecutive gram hashes slides per doc and each window's MINIMUM value
+    is selected (winnowing, Schleimer et al. SIGMOD'03). Value-based
+    selection is position-independent, so two docs sharing a verbatim run
+    of >= span_tokens tokens select at least one common value. Docs shorter
+    than span_tokens emit nothing (they cannot contain a full span).
+
+    Returns (fingerprint_values_u64, doc_ids_i64), deduplicated per doc.
+    """
+    w = span_tokens - shingle_k + 1
+    assert w >= 1
+    th, tok_counts, _, _ = _token_hashes(texts)
+    rng = np.random.default_rng(_SPAN_SEED)
+    gram_mult = (rng.integers(0, 1 << 63, size=shingle_k,
+                              dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    m = th.size
+    k = shingle_k
+    if m >= k:
+        with np.errstate(over="ignore"):
+            all_h = gram_mult[0] * th[: m - k + 1]
+            for i in range(1, k):
+                all_h = all_h ^ (gram_mult[i] * th[i : m - k + 1 + i])
+    else:
+        all_h = np.empty(0, np.uint64)
+    tok_starts = np.concatenate([[0], np.cumsum(tok_counts)])
+    n_win = np.maximum(tok_counts - span_tokens + 1, 0)  # full spans only
+    if int(n_win.sum()) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    # flat sliding min over all grams; windows crossing doc boundaries are
+    # cut away by the per-doc index ranges below
+    if all_h.size >= w:
+        win_min = np.lib.stride_tricks.sliding_window_view(all_h, w).min(axis=1)
+    else:
+        win_min = np.empty(0, np.uint64)
+    sel_vals: list[np.ndarray] = []
+    sel_docs: list[np.ndarray] = []
+    for i in np.flatnonzero(n_win):
+        s = tok_starts[i]
+        vals = win_min[s : s + n_win[i]]
+        # consecutive-equal collapse first (winnowing density ~2/(w+1)),
+        # then per-doc unique
+        vals = np.unique(vals[np.concatenate([[True], vals[1:] != vals[:-1]])])
+        sel_vals.append(vals)
+        sel_docs.append(np.full(vals.size, ids[i], np.int64))
+    return np.concatenate(sel_vals), np.concatenate(sel_docs)
+
+
+def shared_span_pairs(
+    src: "ray.data.Dataset | list[str]",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    span_tokens: int = 32,
+    shingle_k: int = 16,
+    max_group_size: int = 64,
+    files_per_task: int = 2,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Substring-level exact dedup: (id_a, id_b, n_shared) for document
+    pairs sharing at least one verbatim run of >= ``span_tokens``
+    whitespace tokens (the Lee et al. "Deduplicating Training Data"
+    passage-dedup semantics, detected via winnowing fingerprints instead of
+    a suffix array — PAPERS.md).
+
+    Guarantee (winnowing): every shared verbatim span of >= span_tokens
+    tokens yields at least one common selected fingerprint value, while the
+    emitted key stream is ~w x smaller than all-grams (w = span_tokens -
+    shingle_k + 1). Detection is 64-bit-hash equality: a cross-doc gram
+    collision (~2^-64 per pair) can inflate ``n_shared`` by one — same
+    fixed-key contract as the rest of the dedup family.
+
+    Scale shape = the minhash band pipeline: 16-byte (fingerprint, id)
+    rows, explicit hash shuffle, per-bucket vectorized pair emission with
+    min-id star edges past ``max_group_size`` (a boilerplate span shared by
+    thousands of docs), pair-hash repartition for cross-bucket dedup +
+    per-pair ``n_shared`` counts. No corpus bytes in any exchange; the
+    result is O(true span-sharing pairs), star-capped.
+    """
+    paths = _source_paths(src)
+    num_buckets, shift = _cluster_buckets()
+    fp_kwargs = dict(span_tokens=span_tokens, shingle_k=shingle_k)
+
+    def _rows(t: pa.Table) -> list[np.ndarray]:
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, docs = _winnowed_fingerprints(t[text_column], ids, **fp_kwargs)
+        rows = np.column_stack([vals.view(np.int64), docs])
+        return _split_by_bucket(vals, rows, num_buckets, shift)
+
+    if paths is not None:
+        chunks = _path_chunks(paths, files_per_task)
+
+        @ray.remote
+        def map_files(files: list[str]) -> list[np.ndarray]:
+            return _rows(_read_pruned(files, [id_column, text_column]))
+
+        map_refs = [map_files.options(num_returns=num_buckets).remote(c)
+                    for c in chunks]
+    else:
+        def to_rows(t: pa.Table) -> pa.Table:
+            ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, docs = _winnowed_fingerprints(t[text_column], ids, **fp_kwargs)
+            return pa.table({"k": pa.array(vals.view(np.int64)),
+                             "id": pa.array(docs)})
+
+        key_refs = src.map_batches(
+            to_rows, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency
+            or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+        ).to_arrow_refs()
+
+        @ray.remote
+        def bucketize(t: pa.Table) -> list[np.ndarray]:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            rows = np.column_stack([k, t["id"].to_numpy(zero_copy_only=False)])
+            return _split_by_bucket(k.view(np.uint64), rows, num_buckets, shift)
+
+        map_refs = [bucketize.options(num_returns=num_buckets).remote(r)
+                    for r in key_refs]
+
+    @ray.remote
+    def pairs_in_bucket(*parts: np.ndarray) -> np.ndarray:
+        kept = [p for p in parts if len(p)]
+        if not kept:
+            return np.empty((0, 2), np.int64)
+        rows = np.concatenate(kept)
+        kk, ids = rows[:, 0], rows[:, 1]
+        order = np.lexsort((ids, kk))
+        kk, ids = kk[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], kk[1:] != kk[:-1]]))
+        ends = np.concatenate([starts[1:], [kk.size]])
+        out = []
+        for s, e in zip(starts, ends):
+            gids = ids[s:e]
+            gids = gids[np.concatenate([[True], gids[1:] != gids[:-1]])]
+            mm = gids.size
+            if mm < 2:
+                continue
+            if mm > max_group_size:
+                pairs = np.column_stack([np.full(mm - 1, gids[0]), gids[1:]])
+            else:
+                iu, ju = np.triu_indices(mm, k=1)
+                pairs = np.column_stack([gids[iu], gids[ju]])
+            out.append(pairs)
+        if not out:
+            return np.empty((0, 2), np.int64)
+        # NO in-bucket unique: multiplicity per fingerprint feeds n_shared
+        return np.concatenate(out)
+
+    raw_refs = [pairs_in_bucket.remote(*[m[b] for m in map_refs])
+                for b in range(num_buckets)]
+
+    @ray.remote
+    def repart(part: np.ndarray) -> list[np.ndarray]:
+        if len(part) == 0:
+            return [np.empty((0, 2), np.int64)] * num_buckets
+        with np.errstate(over="ignore"):
+            h = _mix64(
+                part[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + part[:, 1].astype(np.uint64)
+            )
+        return _split_by_bucket(h, part, num_buckets, shift)
+
+    repart_refs = [repart.options(num_returns=num_buckets).remote(r)
+                   for r in raw_refs]
+
+    @ray.remote
+    def count_pairs(*parts: np.ndarray) -> pd.DataFrame:
+        kept = [p for p in parts if len(p)]
+        if not kept:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "n_shared": pd.Series(dtype="int64")})
+        rows = np.concatenate(kept)
+        uniq, counts = np.unique(rows, axis=0, return_counts=True)
+        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1],
+                             "n_shared": counts.astype(np.int64)})
+
+    parts = ray.get([count_pairs.remote(*[r[b] for r in repart_refs])
+                     for b in range(num_buckets)])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -377,3 +377,79 @@ def test_binary_features_sliced_input():
     assert part["sniffed_format"].tolist() == ["png", "unknown"]
     assert part["n_bytes"].tolist() == whole["n_bytes"].tolist()[1:3]
     assert part["entropy"].tolist() == whole["entropy"].tolist()[1:3]
+
+
+# ---------------------------------------------------------- shared spans
+
+
+def _span_corpus():
+    """Fully distinct random-word texts (no organic shared 16-gram possible
+    in practice), with 32-token spans planted between chosen pairs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": doc(60)})
+    # plant: doc 100+j = fresh 50-token doc with doc j's tokens 10..42
+    # spliced in the middle (a verbatim 32-token run, not a prefix)
+    for j in range(5):
+        span = " ".join(rows[j]["text"].split()[10:42])
+        rows.append({
+            "doc_id": 100 + j,
+            "text": doc(9) + " " + span + " " + doc(9),
+        })
+    return pd.DataFrame(rows)
+
+
+def test_shared_span_pairs_planted_exact():
+    from biosample_enricher_ray.stages.dedup import shared_span_pairs
+
+    df = _span_corpus()
+    expected = {(j, 100 + j) for j in range(5)}
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        pairs = shared_span_pairs(ds, span_tokens=32)
+        got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        # precision AND recall: exactly the planted pairs, nothing organic
+        assert got == expected
+        assert (pairs["n_shared"] >= 1).all()
+
+
+def test_shared_span_pairs_short_docs_emit_nothing():
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.dedup import shared_span_pairs
+
+    # identical texts but < span_tokens tokens: no full span can exist
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta"] * 2,
+    })
+    pairs = shared_span_pairs(ray.data.from_pandas(df), span_tokens=32)
+    assert len(pairs) == 0
+
+
+def test_shared_span_pairs_star_cap():
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.dedup import shared_span_pairs
+
+    span = " ".join(f"s{i}" for i in range(40))
+    df = pd.DataFrame({
+        "doc_id": list(range(200)),
+        "text": [span] * 200,  # one mega-group
+    })
+    pairs = shared_span_pairs(
+        ray.data.from_pandas(df), span_tokens=32, max_group_size=16
+    )
+    # star edges: O(m) pairs, all anchored at min id, never O(m^2)
+    assert 0 < len(pairs) < 200 * 199 // 2
+    ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert ids == set(range(200))  # connectivity: every doc appears
