@@ -379,6 +379,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "binary_features_documents",
         "source_cap_documents",
         "curation_pipeline_documents",
+        "shared_span_pairs_documents",
     ]
     out = {}
     for name in names:

@@ -1166,6 +1166,30 @@ def span_recall_planted_documents(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def decontaminate_planted_documents(sf_dir: str) -> pd.DataFrame:
+    """Benchmark-decontamination gate: the first-32-token prefixes of the
+    eligible planted docs form the 'benchmark set'; each of those docs
+    genuinely contains its prefix span, so the broadcast overlap scan
+    (benchmark_span_overlap — no shuffle) must flag every one. The eligible
+    list is SQL, so a missed doc hash-mismatches in the driver."""
+    from ..stages.dedup import benchmark_span_overlap
+
+    ids = _span_eligible_ids(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(t["doc_id"].combine_chunks())
+    srt = t.take(order)
+    pos = np.searchsorted(srt["doc_id"].to_numpy(), ids)
+    bench = [" ".join(s.split()[:_SPAN_TOKENS])
+             for s in srt.take(pa.array(pos))["text"].to_pylist()]
+    flagged = benchmark_span_overlap([f"{sf_dir}/documents.parquet"], bench,
+                                     span_tokens=_SPAN_TOKENS)
+    fset = set(flagged["doc_id"])
+    return pd.DataFrame({
+        "doc_id": ids.astype("int64"),
+        "contaminated": pd.array([int(d) in fset for d in ids], dtype="bool"),
+    })
+
+
 def shared_span_pairs_documents(sf_dir: str) -> pd.DataFrame:
     """Substring-level exact dedup over documents: pairs sharing a verbatim
     >= 32-token run (winnowed fingerprints, 16-byte key shuffle)."""
@@ -1643,6 +1667,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup_planted_embeddings": embedding_near_dup_planted_embeddings,
     "span_recall_planted_documents": span_recall_planted_documents,
     "shared_span_pairs_documents": shared_span_pairs_documents,
+    "decontaminate_planted_documents": decontaminate_planted_documents,
     "drift_events_value": drift_events_value,
 }
 
@@ -1991,6 +2016,13 @@ ORACLE_SQL: dict[str, str] = {
         # ASCII corpus), lowest 25 ids
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(doc_id + 1000000 AS BIGINT) AS span_id, TRUE AS found "
+        "FROM (SELECT doc_id FROM documents "
+        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
+    ),
+    "decontaminate_planted_documents": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS contaminated "
         "FROM (SELECT doc_id FROM documents "
         "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "

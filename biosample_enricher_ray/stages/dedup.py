@@ -1646,3 +1646,84 @@ def shared_span_pairs(
                      for b in range(num_buckets)])
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def benchmark_span_overlap(
+    src: "ray.data.Dataset | list[str]",
+    bench_texts: "pa.Array | pa.ChunkedArray | list[str]",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    span_tokens: int = 32,
+    shingle_k: int = 16,
+    files_per_task: int = 2,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Benchmark decontamination: corpus docs sharing a verbatim
+    >= ``span_tokens``-token run with ANY benchmark text → (doc_id,
+    n_overlap) for flagged docs only.
+
+    The train/test-overlap scan of a training-data pipeline (the Lee et al.
+    contamination concern), expressed as a BROADCAST semi-join — the
+    benchmark side is small by definition, so its winnowed fingerprint set
+    (same selection as :func:`shared_span_pairs`, identical guarantee) is
+    ``ray.put`` once and every map task intersects against it with a
+    ``searchsorted``. NO shuffle at all: output is O(contaminated docs).
+    """
+    _empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "n_overlap": pd.Series(dtype="int64")})
+    bench = (pa.array(bench_texts, pa.string())
+             if isinstance(bench_texts, list) else bench_texts)
+    bvals, _ = _winnowed_fingerprints(
+        bench, np.arange(len(bench), dtype=np.int64),
+        span_tokens=span_tokens, shingle_k=shingle_k,
+    )
+    if bvals.size == 0:
+        return _empty  # nothing to match — skip the corpus scan entirely
+    bench_ref = ray.put(np.unique(bvals))
+
+    def flag(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_overlap": pa.array([], pa.int64())})
+        if bset.size == 0 or len(t) == 0:
+            return empty
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, docs = _winnowed_fingerprints(
+            t[text_column], ids, span_tokens=span_tokens, shingle_k=shingle_k
+        )
+        if vals.size == 0:
+            return empty
+        pos = np.clip(np.searchsorted(bset, vals), 0, bset.size - 1)
+        hit = bset[pos] == vals
+        if not hit.any():
+            return empty
+        hit_docs = docs[hit]
+        uniq, counts = np.unique(hit_docs, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq),
+                         "n_overlap": pa.array(counts.astype(np.int64))})
+
+    paths = _source_paths(src)
+    if paths is not None:
+        chunks = _path_chunks(paths, files_per_task)
+
+        @ray.remote
+        def flag_files(files: list[str]) -> pa.Table:
+            return flag(_read_pruned(files, [id_column, text_column]))
+
+        parts = [p.to_pandas() for p in ray.get(
+            [flag_files.remote(c) for c in chunks])]
+    else:
+        parts = [src.map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency
+            or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+        ).to_pandas()]
+    # an all-empty Dataset's to_pandas() drops columns — restore the schema
+    parts = [p for p in parts if "doc_id" in p.columns]
+    out = pd.concat(parts, ignore_index=True) if parts else _empty
+    # a doc split across map tasks cannot happen (fragments are row-complete)
+    # but batch-level grouping inside one task can emit a doc once per batch
+    out = out.groupby("doc_id", as_index=False)["n_overlap"].sum()
+    out["n_overlap"] = out["n_overlap"].astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)

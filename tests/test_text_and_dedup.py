@@ -453,3 +453,21 @@ def test_shared_span_pairs_star_cap():
     assert 0 < len(pairs) < 200 * 199 // 2
     ids = set(pairs["id_a"]) | set(pairs["id_b"])
     assert ids == set(range(200))  # connectivity: every doc appears
+
+
+def test_benchmark_span_overlap_broadcast():
+    from biosample_enricher_ray.stages.dedup import benchmark_span_overlap
+
+    df = _span_corpus()[:30]  # the 30 fully distinct docs, no planted rows
+    # benchmark = doc 3's tokens 5..40 (a mid-document 35-token span)
+    bench = [" ".join(df.loc[3, "text"].split()[5:40])]
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = benchmark_span_overlap(ds, bench, span_tokens=32)
+        assert list(out["doc_id"]) == [3]  # precision AND recall
+        assert int(out["n_overlap"].iloc[0]) >= 1
+    # empty benchmark: nothing flagged
+    out = benchmark_span_overlap(
+        ray.data.from_pandas(df), [], span_tokens=32
+    )
+    assert len(out) == 0
