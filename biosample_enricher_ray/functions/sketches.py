@@ -269,3 +269,97 @@ def psi(current: FixedHistogram, baseline: FixedHistogram, eps: float = 1e-6) ->
     p = np.maximum(current.counts / current.total, eps)
     q = np.maximum(baseline.counts / baseline.total, eps)
     return float(np.sum((p - q) * np.log(p / q)))
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitter summary over string/object keys.
+
+    Deterministic, mergeable, bounded at ``k`` counters. Guarantee: after
+    observing n items, every key with true count > n/(k+1) is present, and
+    for any tracked key  est <= true <= est + max_error  (``max_error``
+    accumulates each truncation's decrement and adds under merge — so the
+    bound stays valid for tree-merged partials, the same contract as the
+    HLL/TDigest/Histogram family).
+
+    Batch update is vectorized: callers pass pre-aggregated (keys, counts)
+    (one ``value_counts`` per batch — the combiner-first rule), and the
+    summary folds them in with a single pandas groupby-sum + partition
+    around the (k+1)-th largest count.
+    """
+
+    def __init__(self, k: int = 1024) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.keys: np.ndarray = np.empty(0, dtype=object)
+        self.counts: np.ndarray = np.empty(0, dtype=np.int64)
+        self.max_error = 0
+        self.n = 0
+
+    def _fold(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        import pandas as pd
+
+        if self.keys.size:
+            keys = np.concatenate([self.keys, keys])
+            counts = np.concatenate([self.counts, counts])
+        s = pd.Series(counts).groupby(pd.Series(keys), sort=False).sum()
+        kk = s.index.to_numpy(dtype=object)
+        cc = s.to_numpy(dtype=np.int64)
+        if kk.size > self.k:
+            # decrement by the (k+1)-th largest count, drop non-positives —
+            # one truncation instead of per-item decrements, same invariant
+            cut = int(np.partition(cc, kk.size - (self.k + 1))[kk.size - (self.k + 1)])
+            cc = cc - cut
+            keep = cc > 0
+            kk, cc = kk[keep], cc[keep]
+            self.max_error += cut
+        self.keys, self.counts = kk, cc
+
+    def update(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Fold a batch in. ``values`` may be raw items (counted here) or
+        pre-aggregated distinct keys with ``counts``."""
+        values = np.asarray(values, dtype=object)
+        if values.size == 0:
+            return
+        if counts is None:
+            import pandas as pd
+
+            vc = pd.Series(values).value_counts(sort=False)
+            values = vc.index.to_numpy(dtype=object)
+            counts = vc.to_numpy(dtype=np.int64)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+        self.n += int(counts.sum())
+        self._fold(values, counts)
+
+    def merge(self, other: "MisraGries") -> None:
+        if other.k != self.k:
+            raise ValueError("cannot merge MisraGries with different k")
+        self.n += other.n
+        self.max_error += other.max_error
+        if other.keys.size:
+            self._fold(other.keys, other.counts)
+
+    def estimates(self) -> "tuple[np.ndarray, np.ndarray]":
+        """(keys, estimated counts), descending by estimate then key."""
+        order = np.lexsort((self.keys.astype(str), -self.counts))
+        return self.keys[order], self.counts[order]
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {"k": self.k, "keys": list(self.keys), "counts": self.counts,
+             "max_error": self.max_error, "n": self.n}
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        d = pickle.loads(b)
+        mg = cls(k=d["k"])
+        mg.keys = np.asarray(d["keys"], dtype=object)
+        mg.counts = np.asarray(d["counts"], dtype=np.int64)
+        mg.max_error = d["max_error"]
+        mg.n = d["n"]
+        return mg

@@ -276,6 +276,86 @@ def token_count_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def word_freq_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary statistic: top-50 lowercased whitespace tokens by
+    count (the word-frequency table vocabulary/BPE training starts from).
+    In-batch ``value_counts`` combiner → key-only groupby-sum → tiny top-k;
+    ties broken by word for a deterministic result."""
+    out = (
+        _word_count_batches(sf_dir)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "word"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)[["word", "n"]]
+    )
+
+
+def _word_count_batches(sf_dir: str) -> ray.data.Dataset:
+    """documents → per-batch (word, n) combiner tables (shared by the exact
+    word-frequency query and the heavy-hitter sketch gate)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))),
+                r"\s+",
+            )
+        ).combine_chunks()
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        vcounts = toks.value_counts()
+        return pa.table({"word": vcounts.field("values"),
+                         "n": vcounts.field("counts").cast(pa.int64())})
+
+    return ds.map_batches(wc, batch_format="pyarrow")
+
+
+def heavy_hitters_gate_documents(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter sketch gate (the hll_error pattern for MisraGries): per
+    exact-top-10 word, the merged distributed sketch must track it with
+    est <= exact <= est + max_error. Block partial sketches fold only
+    PRE-AGGREGATED (word, n) combiner tables — the driver merge is over a
+    handful of k-bounded summaries, never raw tokens. With k=64 >= the
+    corpus vocabulary the MG summary is provably exact, so the gate also
+    pins the distributed fold's exactness."""
+    from ..functions.sketches import MisraGries
+
+    wc_ds = _word_count_batches(sf_dir)
+
+    def to_sketch(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k=64)
+        mg.update(t["word"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([mg.to_bytes()], pa.binary())})
+
+    merged = MisraGries(k=64)
+    for row in wc_ds.map_batches(to_sketch, batch_format="pyarrow").take_all():
+        merged.merge(MisraGries.from_bytes(row["sketch"]))
+
+    exact = (
+        wc_ds.groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    exact["n"] = exact["n"].astype("int64")
+    top = (exact.sort_values(["n", "word"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    est = dict(zip(merged.keys, (int(c) for c in merged.counts)))
+    ok = [
+        w in est and est[w] <= n_true <= est[w] + merged.max_error
+        for w, n_true in zip(top["word"], top["n"])
+    ]
+    out = pd.DataFrame({
+        "word": top["word"],
+        "n_exact": top["n"].astype("int64"),
+        "hh_ok": pd.array(ok, dtype="bool"),
+    })
+    return out.sort_values("word").reset_index(drop=True)
+
+
 def md5_documents(sf_dir: str) -> pd.DataFrame:
     """Content checksum per doc (byte-identical invariant stage; the oracle
     uses md5 because DuckDB ships it — engine-side sha256 lives in
@@ -1625,6 +1705,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hist_n_chars_documents": hist_n_chars_documents,
     "token_count_documents": token_count_documents,
     "md5_documents": md5_documents,
+    "word_freq_documents": word_freq_documents,
+    "heavy_hitters_gate_documents": heavy_hitters_gate_documents,
     "events_daily_counts": events_daily_counts,
     "q1_pricing_summary": q1_pricing_summary,
     "top10_orders": top10_orders,
@@ -1740,6 +1822,20 @@ ORACLE_SQL: dict[str, str] = {
     "md5_documents": (
         "SELECT doc_id, md5(text) AS md5_text FROM documents WHERE doc_id < 50 "
         "ORDER BY doc_id"
+    ),
+    "word_freq_documents": (
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) != '') "
+        "WHERE word != '' GROUP BY word ORDER BY n DESC, word LIMIT 50"
+    ),
+    "heavy_hitters_gate_documents": (
+        "SELECT word, n_exact, TRUE AS hh_ok FROM ("
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ("
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) != '') "
+        "WHERE word != '' GROUP BY word ORDER BY n_exact DESC, word LIMIT 10) "
+        "ORDER BY word"
     ),
     "events_daily_counts": (
         "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n, "

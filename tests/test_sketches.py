@@ -100,3 +100,47 @@ def test_hashing_kernels():
     )
     assert doms.to_pylist() == ["sub.example.com", None, "a.b"]
     assert extract_tld(pa.array(["sub.example.com"])).to_pylist() == ["com"]
+
+
+def test_misra_gries_zipf_guarantees():
+    """Truncation path: zipf stream, split + merged partials. Every key with
+    true count > n/(k+1) must be tracked, and est <= true <= est + max_error
+    for all tracked keys."""
+    import numpy as np
+
+    from biosample_enricher_ray.functions.sketches import MisraGries
+
+    rng = np.random.default_rng(3)
+    items = np.array([f"k{v}" for v in rng.zipf(1.4, size=60_000) % 4000],
+                     dtype=object)
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+
+    k = 64
+    parts = np.array_split(items, 7)
+    sketches = []
+    for p in parts:
+        mg = MisraGries(k=k)
+        mg.update(p)
+        sketches.append(MisraGries.from_bytes(mg.to_bytes()))  # roundtrip
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged.merge(s)
+
+    assert merged.n == len(items)
+    assert merged.keys.size <= k
+    est = dict(zip(merged.keys, (int(c) for c in merged.counts)))
+    thresh = len(items) / (k + 1)
+    for key, n_true in true.items():
+        if n_true > thresh:
+            assert key in est, f"heavy hitter {key} ({n_true}) not tracked"
+    for key, e in est.items():
+        n_true = true.get(key, 0)
+        assert e <= n_true <= e + merged.max_error
+
+    # exactness when k >= distinct: no truncation, no error
+    exact = MisraGries(k=len(true) + 1)
+    exact.update(items)
+    assert exact.max_error == 0
+    assert {k_: int(c) for k_, c in zip(exact.keys, exact.counts)} == true
