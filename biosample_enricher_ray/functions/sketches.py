@@ -363,3 +363,86 @@ class MisraGries:
         mg.max_error = d["max_error"]
         mg.n = d["n"]
         return mg
+
+
+# --------------------------------------------------------------------------- Bloom
+
+
+class BloomFilter:
+    """Bloom membership filter over pre-hashed uint64 values.
+
+    The broadcast-side scale path for decontamination / semi-join probes:
+    the exact fingerprint set of the small side costs 8 bytes per element to
+    broadcast; at ~1% false-positive rate the Bloom bitset costs ~1.2 BYTES
+    per element (m/n ≈ 9.6 bits, k = 7) — an ~6.7x smaller ``ray.put``
+    payload that every map task reads zero-copy. False NEGATIVES are
+    impossible by construction, so a Bloom-probed decontamination pass can
+    never miss a contaminated doc; false positives only add rows to the
+    flagged set (measured and gated in ``bloom_fpr_documents``).
+
+    k index derivations per value use Kirsch–Mitzenmacher double hashing
+    over the two 32-bit halves of the input (already avalanched upstream by
+    ``hash_segments`` / ``hash64``): idx_i = (lo + i*odd(hi)) mod m.
+
+    Same contract as the other sketches: vectorized ``update`` /
+    ``contains``, ``merge`` (bitwise OR), ``to_bytes``/``from_bytes`` for
+    checkpoints.
+    """
+
+    def __init__(self, n_expected: int, fp_rate: float = 0.01) -> None:
+        if n_expected < 1:
+            n_expected = 1
+        if not 0.0 < fp_rate < 1.0:
+            raise ValueError(f"fp_rate must be in (0,1), got {fp_rate}")
+        ln2 = np.log(2.0)
+        m = int(np.ceil(-n_expected * np.log(fp_rate) / (ln2 * ln2)))
+        self.m = max(64, (m + 63) // 64 * 64)  # whole words
+        self.k = max(1, int(round(self.m / n_expected * ln2)))
+        self.n_expected = n_expected
+        self.fp_rate = fp_rate
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _indices(self, values: np.ndarray) -> np.ndarray:
+        """(len(values), k) bit indices via double hashing, vectorized."""
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+        lo = v & np.uint64(0xFFFFFFFF)
+        hi = (v >> np.uint64(32)) | np.uint64(1)  # odd => full-period stride
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (lo[:, None] + i * hi[:, None]) % np.uint64(self.m)
+
+    def update(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        idx = self._indices(values).ravel()
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        np.bitwise_or.at(self.bits, word, bit)
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe -> bool mask (no false negatives)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(values)
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        return ((self.bits[word] & bit) != 0).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> None:
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("cannot merge BloomFilters with different params")
+        self.bits |= other.bits
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"m": self.m, "k": self.k,
+                             "n_expected": self.n_expected,
+                             "fp_rate": self.fp_rate,
+                             "bits": self.bits.tobytes()})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        d = pickle.loads(data)
+        bf = cls.__new__(cls)
+        bf.m, bf.k = d["m"], d["k"]
+        bf.n_expected, bf.fp_rate = d["n_expected"], d["fp_rate"]
+        bf.bits = np.frombuffer(d["bits"], dtype=np.uint64).copy()
+        return bf

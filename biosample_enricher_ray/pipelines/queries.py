@@ -1644,6 +1644,248 @@ def curation_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n_kept", "sum_chars"]].sort_values("source").reset_index(drop=True)
 
 
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant (2^32 / phi)
+_SAMPLE_MOD = 4294967296  # 2^32
+# per-lang keep thresholds as exact integers (rate * 2^32) so the float
+# rate never enters either side's arithmetic — en downsampled hardest
+_SAMPLE_THRESHOLDS = {"en": 1073741824, "es": 2147483648, "fr": 2147483648,
+                      "zh": 3221225472}
+_SAMPLE_DEFAULT_THRESHOLD = _SAMPLE_MOD  # unknown/other langs kept whole
+
+
+def stratified_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language stratified sampling (the corpus-rebalance
+    step of a training-data pipeline: downsample the head language, keep
+    the tail): row kept iff knuth_hash(doc_id) < rate_of(lang) * 2^32.
+    Stateless and seed-free — any worker decides any row's fate
+    independently, so the operator is a pure streaming filter with no
+    shuffle, reproducible across runs/cluster sizes, and cheap at 10^12
+    rows. Output proves exact row membership per stratum (n_kept +
+    sum/min/max of kept doc_ids), not just approximate rates."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lang = t["lang"].to_pandas().fillna("?")
+        # (id mod 2^32) * K mod 2^32: product < 2^64, so uint64 is exact
+        h = (ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT) \
+            % np.uint64(_SAMPLE_MOD)
+        thr = lang.map(_SAMPLE_THRESHOLDS).fillna(
+            _SAMPLE_DEFAULT_THRESHOLD).to_numpy(dtype=np.uint64)
+        kept = h < thr
+        df = pd.DataFrame({"lang": lang, "kept": kept,
+                           "doc_id": ids.astype(np.int64)})
+        g = df.groupby("lang")
+        out = g.agg(n_total=("kept", "size"), n_kept=("kept", "sum")
+                    ).reset_index()
+        kdf = df[df["kept"]].groupby("lang")["doc_id"]
+        kept_stats = kdf.agg(["sum", "min", "max"]).reset_index()
+        out = out.merge(kept_stats, on="lang", how="left")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_total", alias_name="n_total"),
+                   Sum("n_kept", alias_name="n_kept"),
+                   Sum("sum", alias_name="sum_kept_id"),
+                   Min("min", alias_name="min_kept_id"),
+                   Max("max", alias_name="max_kept_id"))
+        .to_pandas()
+    )
+    for c in ("n_total", "n_kept", "sum_kept_id", "min_kept_id",
+              "max_kept_id"):
+        parts[c] = parts[c].fillna(-1).astype("int64")
+    return parts.sort_values("lang").reset_index(drop=True)
+
+
+def doc_freq_documents(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index document frequency: top-50 tokens by the NUMBER OF
+    DOCS containing them (the df table behind IDF weighting / postings
+    builds). Per-batch per-doc distinct terms are complete (a doc never
+    splits across batches), so in-batch (word, 1-per-doc) partials →
+    key-only groupby-sum is globally exact — the same combiner-first shape
+    as word_freq, one extra in-batch dedup."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def df_part(t: pa.Table) -> pa.Table:
+        # combine first: list_parent_indices restarts at 0 per chunk, which
+        # would alias docs across chunks of a multi-chunk batch
+        col = t["text"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            r"\s+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        pairs = pd.DataFrame({
+            "d": parent.filter(keep).to_numpy(zero_copy_only=False),
+            "word": flat.filter(keep).to_pandas(),
+        }).drop_duplicates()
+        vc = pairs["word"].value_counts()
+        return pa.table({"word": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
+
+    out = (
+        ds.map_batches(df_part, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    return (out.sort_values(["df", "word"], ascending=[False, True])
+            .head(50).reset_index(drop=True)[["word", "df"]])
+
+
+def quantiles_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed per-group quantiles: the quantiles_n_chars value-
+    count-partial trick applied per stratum — exchange is one row per
+    (lang, distinct value), never raw rows; the rank arithmetic runs on the
+    tiny merged table. The grouped twin of the per-group TDigest profile."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna("?"),
+            "v": t["n_chars"].to_pandas(),
+        }).dropna(subset=["v"])
+        g = df.groupby(["lang", "v"]).size().reset_index(name="n")
+        g["v"] = g["v"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "v"])
+    )
+    rows = []
+    for lang, g in counts.groupby("lang", sort=True):
+        vals = g["v"].to_numpy()
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+
+        def q_disc(q: float) -> int:
+            # SQL quantile_disc: value at 1-based rank ceil(q * total)
+            target = max(1, int(np.ceil(q * total)))
+            return int(vals[np.searchsorted(cum, target)])
+
+        rows.append((lang, q_disc(0.25), q_disc(0.50), q_disc(0.75), total))
+    return pd.DataFrame(
+        rows, columns=["lang", "p25", "p50", "p75", "n_rows"]
+    ).astype({"p25": "int64", "p50": "int64", "p75": "int64",
+              "n_rows": "int64"})
+
+
+def bloom_decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """Bloom-path decontamination gate: identical contract to
+    decontaminate_planted_documents but probing a broadcast ~1.2-byte-per-
+    fingerprint Bloom BITSET instead of the exact 8-byte-per-value set —
+    the broadcast scale path when the benchmark side reaches billions of
+    fingerprints. Bloom membership has NO false negatives, so every planted
+    contaminated doc must still be flagged — the same SQL oracle pins it."""
+    from ..stages.dedup import benchmark_span_overlap
+
+    ids = _span_eligible_ids(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(t["doc_id"].combine_chunks())
+    srt = t.take(order)
+    pos = np.searchsorted(srt["doc_id"].to_numpy(), ids)
+    bench = [" ".join(s.split()[:_SPAN_TOKENS])
+             for s in srt.take(pa.array(pos))["text"].to_pylist()]
+    flagged = benchmark_span_overlap(
+        [f"{sf_dir}/documents.parquet"], bench, span_tokens=_SPAN_TOKENS,
+        method="bloom",
+    )
+    fset = set(flagged["doc_id"])
+    return pd.DataFrame({
+        "doc_id": ids.astype("int64"),
+        "contaminated": pd.array([int(d) in fset for d in ids], dtype="bool"),
+    })
+
+
+def bloom_fpr_documents(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter accuracy gate (the hll_error pattern): over every
+    winnowed corpus fingerprint, compare exact-set membership vs Bloom
+    membership against the planted benchmark side. false_negatives must be
+    0 (structural guarantee — a miss means the filter is broken) and the
+    measured fingerprint-level false-positive rate must stay within 3x the
+    configured 1% (deterministic given the corpus, so the run-to-run
+    stability checks pin it too)."""
+    from ..functions.sketches import BloomFilter
+    from ..stages.dedup import _winnowed_fingerprints
+
+    ids = _span_eligible_ids(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(t["doc_id"].combine_chunks())
+    srt = t.take(order)
+    pos = np.searchsorted(srt["doc_id"].to_numpy(), ids)
+    bench = pa.array(
+        [" ".join(s.split()[:_SPAN_TOKENS])
+         for s in srt.take(pa.array(pos))["text"].to_pylist()],
+        pa.string(),
+    )
+    bvals, _ = _winnowed_fingerprints(
+        bench, np.arange(len(bench), dtype=np.int64),
+        span_tokens=_SPAN_TOKENS, shingle_k=16,
+    )
+    bset = np.unique(bvals)
+    bf = BloomFilter(n_expected=bset.size, fp_rate=0.01)
+    bf.update(bset)
+    set_ref = ray.put(bset)
+    bf_ref = ray.put(bf.to_bytes())
+
+    class Probe:
+        """Per-batch partials: (n_fp_total, n_exact_hits, n_bloom_hits,
+        n_missed) over the batch's winnowed fingerprints."""
+
+        def __init__(self) -> None:
+            self.bset = ray.get(set_ref)
+            self.bf = BloomFilter.from_bytes(ray.get(bf_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_ = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, _ = _winnowed_fingerprints(
+                t["text"], ids_, span_tokens=_SPAN_TOKENS, shingle_k=16,
+            )
+            if vals.size:
+                p = np.clip(np.searchsorted(self.bset, vals),
+                            0, self.bset.size - 1)
+                exact = self.bset[p] == vals
+                bloom = self.bf.contains(vals)
+                missed = int((exact & ~bloom).sum())
+                row = (len(vals), int(exact.sum()), int(bloom.sum()), missed)
+            else:
+                row = (0, 0, 0, 0)
+            return pa.table({
+                "n_fp": pa.array([row[0]], pa.int64()),
+                "n_exact": pa.array([row[1]], pa.int64()),
+                "n_bloom": pa.array([row[2]], pa.int64()),
+                "n_missed": pa.array([row[3]], pa.int64()),
+            })
+
+    agg = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(Probe, batch_format="pyarrow", concurrency=_pool())
+        .sum(["n_fp", "n_exact", "n_bloom", "n_missed"])
+    )
+    n_fp = int(agg["sum(n_fp)"])
+    n_exact = int(agg["sum(n_exact)"])
+    n_bloom = int(agg["sum(n_bloom)"])
+    n_missed = int(agg["sum(n_missed)"])
+    n_clean = max(n_fp - n_exact, 1)
+    fpr = (n_bloom - n_exact + n_missed) / n_clean
+    return pd.DataFrame({
+        "n_fingerprints": pd.array([n_fp], dtype="int64"),
+        "n_exact_hits": pd.array([n_exact], dtype="int64"),
+        "n_bloom_hits": pd.array([n_bloom], dtype="int64"),
+        "n_false_negatives": pd.array([n_missed], dtype="int64"),
+        "fpr_ok": pd.array([n_missed == 0 and fpr <= 0.03], dtype="bool"),
+    })
+
+
 def _q100_sql_ctes(passthrough: list[str]) -> str:
     """CTE chain ``f, g, s`` computing the per-document integer centi-score
     ``q100`` (the quality_features formula in SQL, RE2 semantics on both
@@ -1727,6 +1969,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cosine_scores_embeddings": cosine_scores_embeddings,
     "source_cap_documents": source_cap_documents,
     "curation_pipeline_documents": curation_pipeline_documents,
+    "stratified_sample_documents": stratified_sample_documents,
+    "doc_freq_documents": doc_freq_documents,
+    "quantiles_by_lang_documents": quantiles_by_lang_documents,
+    "bloom_decontaminate_documents": bloom_decontaminate_documents,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
     "lang_id_documents": lang_id_documents,
@@ -1750,6 +1996,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "span_recall_planted_documents": span_recall_planted_documents,
     "shared_span_pairs_documents": shared_span_pairs_documents,
     "decontaminate_planted_documents": decontaminate_planted_documents,
+    "bloom_fpr_documents": bloom_fpr_documents,
     "drift_events_value": drift_events_value,
 }
 
@@ -1997,6 +2244,52 @@ ORACLE_SQL: dict[str, str] = {
         "       ROUND(SUM((p - q) * LN(p / q)), 4) AS psi,"
         "       (SELECT CAST(ta AS BIGINT) FROM t) AS n_first,"
         "       (SELECT CAST(tb AS BIGINT) FROM t) AS n_second FROM c"
+    ),
+    "stratified_sample_documents": (
+        # HUGEINT keeps (doc_id % 2^32) * K exact for any BIGINT doc_id;
+        # thresholds are the same rate*2^32 integer literals as the engine
+        "WITH d AS (SELECT COALESCE(lang, '?') AS lang, doc_id, "
+        f"((CAST(doc_id AS HUGEINT) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) "
+        f"% {_SAMPLE_MOD} AS h FROM documents), "
+        "k AS (SELECT lang, doc_id, h, CASE lang "
+        + " ".join(f"WHEN '{lg}' THEN {thr}"
+                   for lg, thr in sorted(_SAMPLE_THRESHOLDS.items()))
+        + f" ELSE {_SAMPLE_DEFAULT_THRESHOLD} END AS thr FROM d) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(COALESCE(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS n_kept, "
+        "CAST(COALESCE(SUM(CASE WHEN h < thr THEN doc_id END), -1) "
+        "AS BIGINT) AS sum_kept_id, "
+        "CAST(COALESCE(MIN(CASE WHEN h < thr THEN doc_id END), -1) "
+        "AS BIGINT) AS min_kept_id, "
+        "CAST(COALESCE(MAX(CASE WHEN h < thr THEN doc_id END), -1) "
+        "AS BIGINT) AS max_kept_id "
+        "FROM k GROUP BY lang ORDER BY lang"
+    ),
+    "doc_freq_documents": (
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ("
+        "SELECT DISTINCT doc_id, word FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+        "'\\s+')) AS word FROM documents "
+        "WHERE text IS NOT NULL AND trim(text) != '') WHERE word != '') "
+        "GROUP BY word ORDER BY df DESC, word LIMIT 50"
+    ),
+    "quantiles_by_lang_documents": (
+        "SELECT COALESCE(lang, '?') AS lang, "
+        "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
+        "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75, "
+        "CAST(COUNT(n_chars) AS BIGINT) AS n_rows "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "bloom_decontaminate_documents": (
+        # same contract as the exact-set path: Bloom admits no false
+        # negatives, so every eligible planted doc must flag contaminated
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS contaminated "
+        "FROM (SELECT doc_id FROM documents "
+        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "

@@ -1658,6 +1658,8 @@ def benchmark_span_overlap(
     shingle_k: int = 16,
     files_per_task: int = 2,
     concurrency: int | None = None,
+    method: str = "set",
+    bloom_fp_rate: float = 0.01,
 ) -> pd.DataFrame:
     """Benchmark decontamination: corpus docs sharing a verbatim
     >= ``span_tokens``-token run with ANY benchmark text → (doc_id,
@@ -1669,6 +1671,15 @@ def benchmark_span_overlap(
     (same selection as :func:`shared_span_pairs`, identical guarantee) is
     ``ray.put`` once and every map task intersects against it with a
     ``searchsorted``. NO shuffle at all: output is O(contaminated docs).
+
+    ``method="bloom"`` swaps the broadcast payload for a ~1.2-byte-per-
+    fingerprint Bloom bitset (``functions.sketches.BloomFilter``) — the
+    scale path when the "small" side is a few billion fingerprints (an
+    exact uint64 set at 8 B each stops fitting a worker heap long before
+    the bitset does). Bloom probes admit NO false negatives, so every truly
+    contaminated doc is still flagged; false positives add spurious rows at
+    the configured ``bloom_fp_rate`` (measured per-corpus by the
+    ``bloom_fpr_documents`` gate query).
     """
     _empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                            "n_overlap": pd.Series(dtype="int64")})
@@ -1680,13 +1691,25 @@ def benchmark_span_overlap(
     )
     if bvals.size == 0:
         return _empty  # nothing to match — skip the corpus scan entirely
-    bench_ref = ray.put(np.unique(bvals))
+    buniq = np.unique(bvals)
+    if method == "bloom":
+        from ..functions.sketches import BloomFilter
+
+        bf = BloomFilter(n_expected=buniq.size, fp_rate=bloom_fp_rate)
+        bf.update(buniq)
+        bench_ref = ray.put(bf.to_bytes())
+    elif method == "set":
+        bench_ref = ray.put(buniq)
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'set' or 'bloom')")
+
+    _bf_memo: dict = {}  # one deserialize per worker process, not per batch
 
     def flag(t: pa.Table) -> pa.Table:
-        bset = ray.get(bench_ref)
+        bside = ray.get(bench_ref)
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_overlap": pa.array([], pa.int64())})
-        if bset.size == 0 or len(t) == 0:
+        if len(t) == 0:
             return empty
         ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
         vals, docs = _winnowed_fingerprints(
@@ -1694,8 +1717,16 @@ def benchmark_span_overlap(
         )
         if vals.size == 0:
             return empty
-        pos = np.clip(np.searchsorted(bset, vals), 0, bset.size - 1)
-        hit = bset[pos] == vals
+        if method == "bloom":
+            from ..functions.sketches import BloomFilter
+
+            bf = _bf_memo.get("bf")
+            if bf is None:
+                bf = _bf_memo["bf"] = BloomFilter.from_bytes(bside)
+            hit = bf.contains(vals)
+        else:
+            pos = np.clip(np.searchsorted(bside, vals), 0, bside.size - 1)
+            hit = bside[pos] == vals
         if not hit.any():
             return empty
         hit_docs = docs[hit]

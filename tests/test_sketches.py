@@ -144,3 +144,40 @@ def test_misra_gries_zipf_guarantees():
     exact.update(items)
     assert exact.max_error == 0
     assert {k_: int(c) for k_, c in zip(exact.keys, exact.counts)} == true
+
+
+def test_bloom_filter_membership_and_merge():
+    from biosample_enricher_ray.functions.sketches import BloomFilter
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, size=20_000, dtype=np.int64).astype(np.uint64)
+    others = rng.integers(0, 2**63, size=20_000, dtype=np.int64).astype(np.uint64)
+    others = others[~np.isin(others, members)]
+
+    bf = BloomFilter(n_expected=len(members), fp_rate=0.01)
+    bf.update(members)
+    # structural guarantee: zero false negatives
+    assert bf.contains(members).all()
+    # measured FPR within 3x the configured rate
+    fpr = bf.contains(others).mean()
+    assert fpr <= 0.03, fpr
+
+    # merge = bitwise OR: split-update equals whole-update
+    a = BloomFilter(n_expected=len(members), fp_rate=0.01)
+    b = BloomFilter(n_expected=len(members), fp_rate=0.01)
+    a.update(members[:10_000])
+    b.update(members[10_000:])
+    a.merge(b)
+    assert np.array_equal(a.bits, bf.bits)
+
+    # serialization round-trip
+    c = BloomFilter.from_bytes(bf.to_bytes())
+    assert np.array_equal(c.bits, bf.bits)
+    assert (c.m, c.k) == (bf.m, bf.k)
+
+    # ~1.2 bytes/element broadcast payload vs 8 B/element exact set
+    assert bf.bits.nbytes <= 2.0 * len(members)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        a.merge(BloomFilter(n_expected=10, fp_rate=0.01))

@@ -471,3 +471,31 @@ def test_benchmark_span_overlap_broadcast():
         ray.data.from_pandas(df), [], span_tokens=32
     )
     assert len(out) == 0
+
+
+def test_benchmark_span_overlap_bloom_path():
+    """The Bloom broadcast path must flag every truly contaminated doc (no
+    false negatives, structural) and agree with the exact-set path on this
+    corpus; the dataset- and fragment-path inputs agree too."""
+    from biosample_enricher_ray.stages.dedup import benchmark_span_overlap
+
+    df = _span_corpus()[:30]
+    bench = [" ".join(df.loc[3, "text"].split()[5:40]),
+             " ".join(df.loc[7, "text"].split()[0:35])]
+    ds = ray.data.from_pandas(df).repartition(3)
+    exact = benchmark_span_overlap(ds, bench, span_tokens=32, method="set")
+    bloom = benchmark_span_overlap(
+        ray.data.from_pandas(df).repartition(3), bench, span_tokens=32,
+        method="bloom",
+    )
+    # structural guarantee: bloom flags ⊇ exact flags (no false negatives);
+    # false positives are allowed by contract but must stay rare on this
+    # tiny fingerprint universe (a handful at 1% configured rate)
+    assert set(exact["doc_id"]) <= set(bloom["doc_id"])
+    assert sorted(exact["doc_id"]) == [3, 7]
+    assert {3, 7} <= set(bloom["doc_id"])
+    assert len(set(bloom["doc_id"]) - {3, 7}) <= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        benchmark_span_overlap(ds, bench, span_tokens=32, method="nope")
