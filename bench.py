@@ -380,6 +380,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "source_cap_documents",
         "curation_pipeline_documents",
         "shared_span_pairs_documents",
+        "stratified_sample_documents",
+        "doc_freq_documents",
+        "bloom_decontaminate_documents",
+        "tfidf_documents",
+        "repetition_stats_documents",
+        "redact_gate_documents",
+        "shard_assign_documents",
+        "pack_sequences_documents",
     ]
     out = {}
     for name in names:

@@ -233,3 +233,41 @@ def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray, window: int = 8) -> p
     null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False).astype(bool)
     out[null_mask] = 0
     return pa.array(out.view(np.int64))
+
+
+# Sensitive-pattern scrubbing (the PII-redaction stage of a training-data
+# pipeline). Patterns are RE2 — the same engine Arrow's kernels and DuckDB's
+# regexp_* functions share, so an oracle can recompute counts and redacted
+# lengths exactly. The default set covers the classic PII shapes; a corpus
+# gate should pass patterns that actually occur in its data.
+DEFAULT_PII_PATTERNS: tuple[str, ...] = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",          # email
+    r"\b(?:\d{1,3}\.){3}\d{1,3}\b",                             # IPv4
+    r"\b(?:\+?\d{1,2}[\s.-]?)?(?:\(\d{3}\)|\d{3})[\s.-]?\d{3}[\s.-]?\d{4}\b",  # phone
+)
+
+
+def redact_patterns(
+    texts: pa.Array | pa.ChunkedArray,
+    patterns: list[str] | tuple[str, ...] = DEFAULT_PII_PATTERNS,
+    replacement: str = "[REDACTED]",
+) -> pa.Table:
+    """Count and scrub every pattern in one vectorized pass per pattern.
+
+    Returns columns ``redacted`` (string), ``n_matches`` (int64, summed over
+    patterns), computed with Arrow's RE2 ``count_substring_regex`` /
+    ``replace_substring_regex`` — no Python-level row loop, no object
+    boxing. Null text stays null with 0 matches.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    null_mask = pc.is_null(texts)
+    out = texts
+    n = np.zeros(len(texts), dtype=np.int64)
+    for pat in patterns:
+        n += pc.count_substring_regex(
+            pc.fill_null(out, ""), pat
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pc.replace_substring_regex(out, pat, replacement)
+    out = pc.if_else(null_mask, pa.scalar(None, pa.string()), out)
+    return pa.table({"redacted": out, "n_matches": pa.array(n, pa.int64())})

@@ -28,6 +28,7 @@ from ..functions.hashing import md5_column
 from ..functions.textstats import (
     detect_language,
     quality_features,
+    redact_patterns,
     rolling_fingerprint,
     whitespace_token_count,
 )
@@ -1933,6 +1934,220 @@ def _quality_oracle_sql() -> str:
         "FROM s GROUP BY source ORDER BY source"
     )
 
+_SHARD_N = 16
+_SHARD_SHIFT = 28  # 16 shards = top 4 bits of the 32-bit hash
+
+
+def shard_assign_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-output sharding: shard = TOP 4 bits of
+    knuth_hash(doc_id) — the assignment behind a partitioned
+    `write_parquet` of training shards. Multiplicative hashing mixes into
+    the HIGH bits (the Knuth constant is ≡1 mod 16, so low bits would just
+    echo doc_id mod 16). Pure streaming map (no shuffle, no RNG state), so
+    any worker can route any row and a resumed run re-derives identical
+    shards; the gate pins exact membership per shard via count/sum/min/max
+    of ids."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT) \
+            % np.uint64(_SAMPLE_MOD)
+        df = pd.DataFrame({"shard": (h >> np.uint64(_SHARD_SHIFT)).astype(np.int64),
+                           "doc_id": ids.astype(np.int64)})
+        g = df.groupby("shard")["doc_id"].agg(["size", "sum", "min", "max"])
+        g = g.reset_index()
+        g.columns = ["shard", "n", "sum_id", "min_id", "max_id"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_id", alias_name="sum_id"),
+                   Min("min_id", alias_name="min_id"),
+                   Max("max_id", alias_name="max_id"))
+        .to_pandas()
+    )
+    for c in ("shard", "n", "sum_id", "min_id", "max_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def repetition_stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Repetition quality signals (the Gopher/C4 family recast for this
+    corpus's token-level structure): per doc, token count, distinct-token
+    count and the top token's count; a doc is flagged repetitious when its
+    most frequent token is ≥ 20% of all tokens — compared as the INTEGER
+    inequality top_n*5 >= n_tokens so no float enters either side. Per-doc
+    stats are complete per batch (docs never split), so the exchange is one
+    small row per (lang) after in-batch aggregation."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            r"\s+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        pairs = pd.DataFrame({
+            "d": parent.filter(keep).to_numpy(zero_copy_only=False),
+            "word": flat.filter(keep).to_pandas(),
+        })
+        pw = pairs.groupby(["d", "word"], sort=False).size().reset_index(name="c")
+        per = pw.groupby("d").agg(
+            n_tokens=("c", "sum"), n_distinct=("c", "size"), top_n=("c", "max")
+        ).reset_index()
+        lang = t["lang"].to_pandas().fillna("?")
+        per["lang"] = lang.iloc[per["d"]].to_numpy()
+        per["flagged"] = (per["top_n"] * 5 >= per["n_tokens"]).astype(np.int64)
+        g = per.groupby("lang").agg(
+            n_docs=("d", "size"), n_flagged=("flagged", "sum"),
+            sum_tokens=("n_tokens", "sum"), sum_distinct=("n_distinct", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(rep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_flagged", alias_name="n_flagged"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("sum_distinct", alias_name="sum_distinct"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_flagged", "sum_tokens", "sum_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# Scrub patterns that actually occur in the synthetic corpus — the gate for
+# the generic redact_patterns kernel (whose default set is the classic
+# email/IPv4/phone PII shapes; this corpus contains none, so the gate would
+# be vacuous on those).
+_REDACT_PATTERNS = (r"\bcustomer\b", r"\bspark\b")
+
+
+def redact_gate_documents(sf_dir: str) -> pd.DataFrame:
+    """Sensitive-pattern redaction (the PII-scrub stage): count and replace
+    every match of each pattern, sequentially per pattern, via Arrow RE2
+    kernels — the SAME regex engine DuckDB uses, so the oracle recomputes
+    match counts and post-redaction lengths exactly. Per-source gate: docs
+    hit, total matches, total chars after scrubbing (all integers)."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        rt = redact_patterns(t["text"].combine_chunks(), _REDACT_PATTERNS)
+        n_matches = rt["n_matches"].to_numpy()
+        chars_after = pc.utf8_length(
+            pc.fill_null(rt["redacted"], "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().fillna("?"),
+            "n_matches": n_matches,
+            "chars_after": chars_after,
+            "hit": (n_matches > 0).astype(np.int64),
+        })
+        g = df.groupby("source").agg(
+            n_docs=("hit", "size"), n_docs_hit=("hit", "sum"),
+            total_matches=("n_matches", "sum"),
+            sum_chars_redacted=("chars_after", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_docs_hit", alias_name="n_docs_hit"),
+                   Sum("total_matches", alias_name="total_matches"),
+                   Sum("sum_chars_redacted", alias_name="sum_chars_redacted"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_docs_hit", "total_matches", "sum_chars_redacted"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            .head(50))
+
+
+def tfidf_documents(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF term ranking: global top-50 (doc, term) cells by tf/df. One
+    shuffle total: per-batch COMPLETE per-doc term frequencies (docs never
+    split across batches) → groupby(word) where each group computes its own
+    df = group size and keeps only its top-50 rows by tf — within a word,
+    tf/df orders by tf, so the per-word cap is lossless for the global
+    top-50. The driver sorts only the capped candidate set (≤ 50·|vocab
+    subset| rows, never the corpus). Output columns are all integers; the
+    tf/df sort ratio is a single IEEE division, deterministic across numpy
+    and DuckDB, with (doc_id, word) tie-breaks making the cut total."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_part(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            r"\s+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({
+            "doc_id": ids[parent.filter(keep).to_numpy(zero_copy_only=False)],
+            "word": flat.filter(keep).to_pandas(),
+        })
+        tf = pairs.groupby(["doc_id", "word"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        df_val = np.int64(len(g))
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).head(50)
+        g = g.copy()
+        g["df"] = df_val
+        return g
+
+    cand = (
+        ds.map_batches(tf_part, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(per_word, batch_format="pandas")
+        .to_pandas()
+    )
+    cand["ratio"] = cand["tf"] / cand["df"]
+    out = cand.sort_values(["ratio", "doc_id", "word"],
+                           ascending=[False, True, True]).head(50)
+    out = out[["doc_id", "word", "tf", "df"]].reset_index(drop=True)
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_PACK_SEQ_LEN = 128
+
+
+def pack_sequences_documents(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (concat-and-split): each doc's span of fixed-length
+    training sequences under doc_id-order concatenation at seq_len=128.
+    Distributed prefix-sum over row-groups (stages/packing.py): phase 1
+    counts tokens per row-group, the driver prefix-sums O(row-groups)
+    scalars, phase 2 assigns spans per row-group in parallel — no shuffle,
+    resumable per partition. Gate: first 200 docs' spans + the corpus-wide
+    sequence count, against a SQL window cumsum."""
+    from ..stages.packing import packed_sequence_spans
+
+    spans, total = packed_sequence_spans(
+        f"{sf_dir}/documents.parquet", seq_len=_PACK_SEQ_LEN, id_cap=200
+    )
+    spans["total_sequences"] = np.int64(total)
+    for c in ("doc_id", "n_tokens", "start_seq", "end_seq", "total_sequences"):
+        spans[c] = spans[c].astype("int64")
+    return spans.reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "null_rate_documents": null_rate_documents,
     "completeness_documents": completeness_documents,
@@ -1973,6 +2188,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_freq_documents": doc_freq_documents,
     "quantiles_by_lang_documents": quantiles_by_lang_documents,
     "bloom_decontaminate_documents": bloom_decontaminate_documents,
+    "shard_assign_documents": shard_assign_documents,
+    "repetition_stats_documents": repetition_stats_documents,
+    "redact_gate_documents": redact_gate_documents,
+    "tfidf_documents": tfidf_documents,
+    "pack_sequences_documents": pack_sequences_documents,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
     "lang_id_documents": lang_id_documents,
@@ -2290,6 +2510,81 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
         "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
+    ),
+    "shard_assign_documents": (
+        # same HUGEINT-exact multiplicative hash as stratified sampling;
+        # shard = top 4 bits (// 2^28) — multiplicative hashes mix HIGH bits
+        "WITH d AS (SELECT doc_id, CAST((((CAST(doc_id AS HUGEINT) "
+        f"% {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) "
+        f"// {1 << _SHARD_SHIFT} AS BIGINT) AS shard FROM documents) "
+        "SELECT shard, COUNT(*) AS n, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_id, "
+        "CAST(MIN(doc_id) AS BIGINT) AS min_id, "
+        "CAST(MAX(doc_id) AS BIGINT) AS max_id "
+        "FROM d GROUP BY shard ORDER BY shard"
+    ),
+    "repetition_stats_documents": (
+        "WITH toks AS (SELECT doc_id, COALESCE(lang, '?') AS lang, "
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+        "pw AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM toks "
+        "WHERE word != '' GROUP BY doc_id, lang, word), "
+        "per AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS "
+        "top_n FROM pw GROUP BY doc_id, lang) "
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(COALESCE(SUM(CASE WHEN top_n * 5 >= n_tokens THEN 1 ELSE 0 "
+        "END), 0) AS BIGINT) AS n_flagged, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct "
+        "FROM per GROUP BY lang ORDER BY lang"
+    ),
+    "redact_gate_documents": (
+        # sequential per-pattern scrub: pattern 2 is counted on the text
+        # AFTER pattern 1's replacement, exactly like the engine kernel
+        "WITH r AS (SELECT COALESCE(source, '?') AS source, "
+        f"len(regexp_extract_all(COALESCE(text, ''), '{_REDACT_PATTERNS[0]}')) "
+        f"+ len(regexp_extract_all(regexp_replace(COALESCE(text, ''), "
+        f"'{_REDACT_PATTERNS[0]}', '[REDACTED]', 'g'), "
+        f"'{_REDACT_PATTERNS[1]}')) AS n_matches, "
+        f"length(regexp_replace(regexp_replace(COALESCE(text, ''), "
+        f"'{_REDACT_PATTERNS[0]}', '[REDACTED]', 'g'), "
+        f"'{_REDACT_PATTERNS[1]}', '[REDACTED]', 'g')) AS chars_after "
+        "FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(COALESCE(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS n_docs_hit, "
+        "CAST(SUM(n_matches) AS BIGINT) AS total_matches, "
+        "CAST(SUM(chars_after) AS BIGINT) AS sum_chars_redacted "
+        "FROM r GROUP BY source ORDER BY source LIMIT 50"
+    ),
+    "tfidf_documents": (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+        "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM toks WHERE word != '' GROUP BY doc_id, word), "
+        "df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf "
+        "GROUP BY word) "
+        "SELECT tf.doc_id, tf.word, tf.tf, df.df FROM tf JOIN df USING (word) "
+        "ORDER BY (tf.tf * 1.0) / df.df DESC, tf.doc_id, tf.word LIMIT 50"
+    ),
+    "pack_sequences_documents": (
+        "WITH tc AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = "
+        "'' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS BIGINT) AS cum_before FROM tc), "
+        f"tot AS (SELECT CAST((SUM(n_tokens) + {_PACK_SEQ_LEN - 1}) "
+        f"// {_PACK_SEQ_LEN} AS BIGINT) AS total_sequences FROM tc) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(CASE WHEN n_tokens > 0 THEN cum_before // {_PACK_SEQ_LEN} "
+        "ELSE -1 END AS BIGINT) AS start_seq, "
+        f"CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) "
+        f"// {_PACK_SEQ_LEN} ELSE -1 END AS BIGINT) AS end_seq, "
+        "tot.total_sequences FROM c, tot WHERE doc_id < 200 ORDER BY doc_id"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "

@@ -667,7 +667,8 @@ def minhash_lsh_candidates(
             if m < 2:
                 continue
             if m > max_group_size:
-                # star edges: min-id anchor preserves cluster connectivity
+                # star edges: min-id anchor approximately preserves cluster
+                # connectivity (see the star-edge caveat in the docstring)
                 # without the O(m^2) blowup of a boilerplate mega-bucket
                 pairs = np.column_stack([np.full(m - 1, gids[0]), gids[1:]])
             else:
