@@ -77,20 +77,29 @@ def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     pows = _POW_CACHE.get("pows")
     if pows is None or pows.size < n:
         size = max(n, 1 << 20)
-        with np.errstate(over="ignore"):
-            pows = np.empty(size, dtype=np.uint64)
-            pows[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _POLY_B, dtype=np.uint64)[1:], out=pows[1:]
-            )
-            inv = np.empty(size, dtype=np.uint64)
-            inv[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _POLY_B_INV, dtype=np.uint64)[1:], out=inv[1:]
-            )
-        _POW_CACHE["pows"] = pows
-        _POW_CACHE["inv"] = inv
+        # log-doubling build (p[k:2k] = p[:k] * B^k): ~20 vectorized
+        # multiplies instead of an element-wise ufunc accumulate, which
+        # numpy runs as a ~1 s scalar loop at 2^20 — this was the dominant
+        # first-batch cost of every hashing actor (measured 950 ms → 3 ms)
+        _POW_CACHE["pows"] = _pow_series(_POLY_B, size)
+        _POW_CACHE["inv"] = _pow_series(_POLY_B_INV, size)
     return _POW_CACHE["pows"], _POW_CACHE["inv"]
+
+
+def _pow_series(base: np.uint64, size: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(size-1)] mod 2^64 by log-doubling."""
+    with np.errstate(over="ignore"):
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        if size > 1:
+            p[1] = base
+        k = 2
+        while k < size:
+            m = min(k, size - k)
+            bk = p[k - 1] * base
+            np.multiply(p[:m], bk, out=p[k:k + m])
+            k *= 2
+    return p
 
 
 def hash_segments(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

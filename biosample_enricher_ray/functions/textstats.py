@@ -156,20 +156,13 @@ def _fp_pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     dedup._pow_tables idiom; input-independent, amortized per worker)."""
     pows = _FP_POW_CACHE.get("pows")
     if pows is None or pows.size < n:
+        from .hashing import _pow_series
+
+        # log-doubling build — the accumulate version was a ~1 s scalar
+        # loop at 2^20, paid by every fingerprint actor's first batch
         size = max(n, 1 << 20)
-        with np.errstate(over="ignore"):
-            pows = np.empty(size, dtype=np.uint64)
-            pows[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _FP_B, dtype=np.uint64)[1:], out=pows[1:]
-            )
-            inv = np.empty(size, dtype=np.uint64)
-            inv[0] = 1
-            np.multiply.accumulate(
-                np.full(size, _FP_B_INV, dtype=np.uint64)[1:], out=inv[1:]
-            )
-        _FP_POW_CACHE["pows"] = pows
-        _FP_POW_CACHE["inv"] = inv
+        _FP_POW_CACHE["pows"] = _pow_series(_FP_B, size)
+        _FP_POW_CACHE["inv"] = _pow_series(_FP_B_INV, size)
     return _FP_POW_CACHE["pows"], _FP_POW_CACHE["inv"]
 
 

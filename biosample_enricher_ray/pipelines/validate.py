@@ -231,12 +231,17 @@ def records_dataset(
     handles without splitting rows.
     """
     if concurrency is None:
-        # Actor pools must be sized explicitly. Reserve 2 CPUs for the read /
+        # Actor pools must be bounded explicitly. Reserve 2 CPUs for the read /
         # shuffle stages — a pool that takes every CPU starves ReadParquet and
         # the pipeline stalls (observed: full-CPU pool hung on a 4-CPU session).
+        # AUTOSCALING (min, max) rather than a fixed size: a fixed pool spins
+        # max actors even for a one-block input (measured 9-16 s of pure
+        # actor startup on a 500-row table at 8-32 CPUs); (1, cpus-2) starts
+        # one actor and grows only while batches queue, reaching the same
+        # ceiling on big inputs.
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     rec = ds.map_batches(
         Validator,
         fn_constructor_kwargs=dict(checks=checks, profile=profile,
