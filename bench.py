@@ -388,6 +388,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "redact_gate_documents",
         "shard_assign_documents",
         "pack_sequences_documents",
+        "bigram_lm_score_documents",
     ]
     out = {}
     for name in names:

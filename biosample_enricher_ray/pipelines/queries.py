@@ -2148,6 +2148,88 @@ def pack_sequences_documents(sf_dir: str) -> pd.DataFrame:
     return spans.reset_index(drop=True)
 
 
+def _batch_bigrams(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """(doc_ids, bigram strings) for a documents batch, fully vectorized:
+    adjacent flat tokens joined with binary_join_element_wise where both
+    sides share a parent doc. Empty/whitespace-only docs tokenize to a
+    single '' token and so never form a bigram — no filtering that would
+    splice non-adjacent tokens together."""
+    col = t["text"].combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+        r"\s+",
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    valid = parent[:-1] == parent[1:]
+    w1 = flat.slice(0, len(flat) - 1)
+    w2 = flat.slice(1)
+    big = pc.binary_join_element_wise(w1, w2, " ").filter(pa.array(valid))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return ids[parent[:-1][valid]].astype(np.int64), big
+
+
+def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
+    """N-gram LM commonality scoring (the count-based core of perplexity
+    filtering): pass 1 builds the global bigram-count model with an
+    in-batch value_counts combiner → key-only groupby-sum; pass 2 scores
+    each doc as the sum of model counts over its bigrams and keeps a
+    per-batch top-20 by hits/bigram (lossless for the global cut), so the
+    driver sorts only candidates. The model is broadcast via ``ray.put``;
+    the documented scale path for a web-sized model is the Misra-Gries
+    heavy-hitter cap (functions/sketches.py) or the hash-partitioned join
+    (stages/shuffle.py) — never a driver-side full-vocab gather at 100 TB.
+    Integer-only output; the sort ratio is one IEEE division shared with
+    the oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def model_part(t: pa.Table) -> pa.Table:
+        _, big = _batch_bigrams(t)
+        vc = big.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    model = (
+        ds.map_batches(model_part, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    model_ref = ray.put(dict(zip(model["bigram"], model["n"].astype(np.int64))))
+
+    def score(t: pa.Table) -> pa.Table:
+        lm = ray.get(model_ref)
+        ids, big = _batch_bigrams(t)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "lm_hits": pa.array([], pa.int64())})
+        df = pd.DataFrame({"doc_id": ids,
+                           "c": pd.Series(big.to_pandas()).map(lm)})
+        per = df.groupby("doc_id")["c"].agg(["size", "sum"]).reset_index()
+        per.columns = ["doc_id", "n_bigrams", "lm_hits"]
+        # per-doc rows are COMPLETE (docs never split across batches), so a
+        # per-batch top-20 by the final sort key is a lossless candidate cut
+        per["ratio"] = per["lm_hits"] / per["n_bigrams"]
+        per = per.sort_values(["ratio", "doc_id"],
+                              ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(
+            per[["doc_id", "n_bigrams", "lm_hits"]], preserve_index=False)
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand["ratio"] = cand["lm_hits"] / cand["n_bigrams"]
+    out = cand.sort_values(["ratio", "doc_id"],
+                           ascending=[False, True]).head(20)
+    out = out[["doc_id", "n_bigrams", "lm_hits"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "null_rate_documents": null_rate_documents,
     "completeness_documents": completeness_documents,
@@ -2193,6 +2275,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "redact_gate_documents": redact_gate_documents,
     "tfidf_documents": tfidf_documents,
     "pack_sequences_documents": pack_sequences_documents,
+    "bigram_lm_score_documents": bigram_lm_score_documents,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
     "lang_id_documents": lang_id_documents,
@@ -2585,6 +2668,21 @@ ORACLE_SQL: dict[str, str] = {
         f"CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) "
         f"// {_PACK_SEQ_LEN} ELSE -1 END AS BIGINT) AS end_seq, "
         "tot.total_sequences FROM c, tot WHERE doc_id < 200 ORDER BY doc_id"
+    ),
+    "bigram_lm_score_documents": (
+        "WITH arrs AS (SELECT doc_id, regexp_split_to_array(lower(trim("
+        "text)), '\\s+') AS a FROM documents "
+        "WHERE text IS NOT NULL AND trim(text) != ''), "
+        "bi AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], "
+        "a[2:len(a)])) AS z FROM arrs WHERE len(a) >= 2), "
+        "bg AS (SELECT doc_id, z[1] || ' ' || z[2] AS bigram FROM bi), "
+        "model AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg "
+        "GROUP BY bigram), "
+        "per AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(model.c) AS BIGINT) AS lm_hits FROM bg "
+        "JOIN model USING (bigram) GROUP BY bg.doc_id) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, lm_hits "
+        "FROM per ORDER BY (lm_hits * 1.0) / n_bigrams DESC, doc_id LIMIT 20"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "

@@ -193,3 +193,35 @@ def test_shard_assign_uses_high_bits(docs_dir):
     assert got.to_dict() == exp.to_dict()
     # high-bit sharding must NOT be doc_id mod 16 for sequential ids
     assert shards.tolist() != (ids % 16).astype(np.int64).tolist()
+
+
+def test_bigram_lm_score_prefers_common_bigrams(docs_dir):
+    from biosample_enricher_ray.pipelines.queries import (
+        bigram_lm_score_documents,
+    )
+
+    out = bigram_lm_score_documents(docs_dir)
+    # brute force: global bigram counts over the fixture corpus
+    docs = {
+        0: "dup dup dup dup dup one two three",
+        1: "alpha beta gamma delta epsilon",
+        2: "zebra zebra alpha",
+        3: "alpha beta beta",
+        4: "one two",
+    }
+    model = {}
+    per = {}
+    for d, text in docs.items():
+        ws = text.split()
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        per[d] = bgs
+        for bg in bgs:
+            model[bg] = model.get(bg, 0) + 1
+    rows = [(d, len(bgs), sum(model[b] for b in bgs))
+            for d, bgs in per.items() if bgs]
+    rows.sort(key=lambda r: (-(r[2] / r[1]), r[0]))
+    exp = pd.DataFrame(rows[:20], columns=["doc_id", "n_bigrams", "lm_hits"])
+    pd.testing.assert_frame_equal(
+        out, exp.astype("int64"), check_dtype=True)
+    # doc 0 ('dup dup' x4) must beat the all-unique-bigram docs
+    assert out.iloc[0]["doc_id"] == 0
