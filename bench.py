@@ -389,6 +389,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "shard_assign_documents",
         "pack_sequences_documents",
         "bigram_lm_score_documents",
+        "top3_docs_per_lang",
     ]
     out = {}
     for name in names:

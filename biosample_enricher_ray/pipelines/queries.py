@@ -2230,6 +2230,41 @@ def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (k>1) with a LOSSLESS map-side cut — the general form of
+    the argmax reduce (A7, `top_event_per_user`): any row in a group's global
+    top-k is necessarily in its batch's per-group top-k, so each batch ships
+    at most k rows per group it saw and the groupby shuffles O(k × groups ×
+    batches) candidate rows instead of the corpus. Final per-group top-k runs
+    in ``map_groups`` over candidates only. Tiebreak doc_id ascending makes
+    the result deterministic under any partitioning."""
+    k = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def cut(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["lang", "n_chars"])
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(k)
+
+    out = (
+        ds.map_batches(cut, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["lang", "doc_id", "n_chars"]]
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "null_rate_documents": null_rate_documents,
     "completeness_documents": completeness_documents,
@@ -2276,6 +2311,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf_documents": tfidf_documents,
     "pack_sequences_documents": pack_sequences_documents,
     "bigram_lm_score_documents": bigram_lm_score_documents,
+    "top3_docs_per_lang": top3_docs_per_lang,
     # non-SQL-expressible (rows-only checks)
     "pages_validation_summary": pages_validation_summary,
     "lang_id_documents": lang_id_documents,
@@ -2683,6 +2719,14 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN model USING (bigram) GROUP BY bg.doc_id) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, lm_hits "
         "FROM per ORDER BY (lm_hits * 1.0) / n_bigrams DESC, doc_id LIMIT 20"
+    ),
+    "top3_docs_per_lang": (
+        "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "WHERE lang IS NOT NULL AND n_chars IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) <= 3 "
+        "ORDER BY lang, n_chars DESC, doc_id"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
