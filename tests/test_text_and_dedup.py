@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -78,6 +79,61 @@ def test_exact_dedup_groups():
     assert out.to_dict("records") == [
         {"keep_id": 1, "n": 3},
         {"keep_id": 2, "n": 1},
+    ]
+
+
+def test_exact_dedup_groups_with_empty_blocks():
+    """A filter that empties whole blocks must not crash the key shuffle
+    (round-3 driver crash: schema-less empty block -> KeyError 'h' in
+    bucketize, stages/dedup.py). Blocks 2+ are emptied entirely."""
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "dup" if i < 3 else f"only-{i}"}
+         for i in range(40)],
+        override_num_blocks=8,
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less(t["doc_id"], 5))
+        return pa.table({"doc_id": kept["doc_id"], "text": kept["text"]})
+
+    filtered = ds.map_batches(gate, batch_format="pyarrow")
+    out = exact_dedup_groups(filtered).to_pandas().sort_values(
+        "keep_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"keep_id": 0, "n": 3},
+        {"keep_id": 3, "n": 1},
+        {"keep_id": 4, "n": 1},
+    ]
+
+
+def test_exact_dedup_groups_gated_single_gate_scan():
+    """exact_dedup_groups_gated matches dedup-over-filtered semantics, with
+    the gate also applied on the candidate re-scan (a hash-matching row that
+    fails the gate must not join the group)."""
+    from biosample_enricher_ray.stages.dedup import exact_dedup_groups_gated
+
+    rows = (
+        [{"doc_id": i, "text": "dup", "lang": "en"} for i in range(3)]
+        + [{"doc_id": 3, "text": "dup", "lang": "fr"}]  # same text, gated out
+        + [{"doc_id": 4 + i, "text": f"u{i}", "lang": "en"} for i in range(4)]
+        + [{"doc_id": 8, "text": "u0", "lang": "de"}]  # gated-out dup of u0
+    )
+
+    def make_source():
+        return ray.data.from_items(rows, override_num_blocks=4)
+
+    def gate(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["lang"], "en"))
+        return pa.table({"doc_id": kept["doc_id"], "text": kept["text"]})
+
+    out = exact_dedup_groups_gated(make_source, gate).to_pandas()
+    out = out.sort_values("keep_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"keep_id": 0, "n": 3},
+        {"keep_id": 4, "n": 1},
+        {"keep_id": 5, "n": 1},
+        {"keep_id": 6, "n": 1},
+        {"keep_id": 7, "n": 1},
     ]
 
 
