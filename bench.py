@@ -358,43 +358,26 @@ def run_salt_bench(corpus_dir: str) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
-    from biosample_enricher_ray.pipelines.queries import QUERIES
+    """Time EVERY driver-registered query (full regression visibility per
+    tier — round-3 VERDICT ask #9) plus the historical extra names kept for
+    round-over-round comparability (token_count/minhash_pairs/hll_distinct/
+    shared_span were registry keys through round 3)."""
+    from biosample_enricher_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
-    names = [
-        "q1_pricing_summary",
-        "events_daily_counts",
-        "exact_dedup_documents",
+    extras = [
         "token_count_documents",
-        "uniqueness_doc_id",
-        "customers_per_region",
-        "ann_topk_embeddings",
         "minhash_pairs_documents",
         "hll_distinct_documents",
-        "drift_events_value",
-        # round-3 operators
-        "asof_click_view_events",
-        "preceding_window_count_events",
-        "sliding_daily_events",
-        "ngram_jaccard_pairs_documents",
-        "binary_features_documents",
-        "source_cap_documents",
-        "curation_pipeline_documents",
         "shared_span_pairs_documents",
-        "stratified_sample_documents",
-        "doc_freq_documents",
-        "bloom_decontaminate_documents",
-        "tfidf_documents",
-        "repetition_stats_documents",
-        "redact_gate_documents",
-        "shard_assign_documents",
-        "pack_sequences_documents",
-        "bigram_lm_score_documents",
-        "top3_docs_per_lang",
     ]
     out = {}
-    for name in names:
+    for name, fn in QUERIES.items():
         t0 = time.time()
-        QUERIES[name](sf_dir)
+        fn(sf_dir)
+        out[name] = round(time.time() - t0, 3)
+    for name in extras:
+        t0 = time.time()
+        EXTRA_QUERIES[name](sf_dir)
         out[name] = round(time.time() - t0, 3)
     return out
 

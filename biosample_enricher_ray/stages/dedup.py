@@ -1833,7 +1833,10 @@ def benchmark_span_overlap(
     else:
         raise ValueError(f"unknown method {method!r} (want 'set' or 'bloom')")
 
-    _bf_memo: dict = {}  # one deserialize per worker process, not per batch
+    # closure dict pickled with the flag fn: each map TASK unpickles its own
+    # copy, so this memoizes per task (per block), not per worker process —
+    # still saves the per-batch deserialize within multi-batch tasks
+    _bf_memo: dict = {}
 
     def flag(t: pa.Table) -> pa.Table:
         bside = ray.get(bench_ref)

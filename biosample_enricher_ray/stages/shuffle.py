@@ -296,6 +296,121 @@ def shuffle_semi_join_complement(
     return pd.DataFrame({"n_orphans": [int(sum(counts))], "n_rows": [int(n_rows)]})
 
 
+def shuffle_hash_join(
+    left_ds: ray.data.Dataset,
+    left_key: str,
+    right_ds: ray.data.Dataset,
+    right_key: str,
+    *,
+    num_buckets: int | None = None,
+    salt: int = 1,
+) -> ray.data.Dataset:
+    """General large×large INNER equi-join producing joined rows — the
+    missing fact⋈fact operator (round-3 VERDICT ask #6; reference analog J1,
+    adapters.py:610-640, promoted from dimension scale to fact scale).
+
+    Ray Data (2.49) has no distributed join primitive, so this is the
+    documented raw-Ray fallback: both sides are hash-partitioned on the join
+    key (bucket = hash64(key) >> shift — process-stable, same bucketing as
+    parquet_key_uniqueness) and each bucket is joined locally with pyarrow's
+    C++ hash-join kernel (``Table.join``). Co-location is guaranteed because
+    equal keys hash equally on both sides; hash collisions are harmless (the
+    in-bucket join compares real key values).
+
+    Scale shape: ONLY the projected columns move (callers must
+    ``select_columns`` both sides down to what the join output needs — a
+    join that ships unused columns is wrong at 100 TB), and each side moves
+    exactly once. Null join keys are dropped (SQL inner-join semantics:
+    NULL never matches).
+
+    Skew: one bucket holds every row of its keys; a zipf-hot key with large
+    groups on BOTH sides makes that reducer the straggler. When the hot
+    side's mate is unique-per-key (the fact⋈header case, lineitem⋈orders),
+    pass ``salt > 1``: left rows spread round-robin over ``salt`` sub-buckets
+    and right rows are REPLICATED to all ``salt`` sub-buckets — the classic
+    salted replicated join; reducer input shrinks ~salt× on the left at the
+    cost of salt× duplication of the (narrow) right side. Correct for any
+    key multiplicities (replication never duplicates output pairs because
+    each left row lands in exactly one sub-bucket).
+
+    Payload column names must be disjoint across sides (pyarrow.join
+    contract); the join key survives once under ``left_key``.
+    """
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    bits = max(1, int(np.ceil(np.log2(num_buckets))))
+    num_buckets = 1 << bits
+    shift = np.uint64(64 - bits)
+    salt = max(1, int(salt))
+    n_parts = num_buckets * salt
+
+    @ray.remote
+    def map_side(t: pa.Table, col: str, replicate: bool) -> list[pa.Table]:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return [t.slice(0, 0) for _ in range(n_parts)]
+        t = t.filter(pc.is_valid(t[col]))
+        h = hash64(t[col].combine_chunks())
+        bucket = (h >> shift).astype(np.int64)
+        if salt > 1 and not replicate:
+            # round-robin sub-bucket: spreads a hot key's rows evenly and
+            # deterministically within each map task
+            bucket = bucket * salt + (np.arange(len(bucket)) % salt)
+        elif salt > 1:
+            bucket = bucket * salt  # replicated below
+        order = np.argsort(bucket, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(bucket[order], np.arange(n_parts + 1))
+        parts = [t.slice(bounds[b], bounds[b + 1] - bounds[b])
+                 for b in range(n_parts)]
+        if salt > 1 and replicate:
+            # right side: every sub-bucket of a bucket gets the full bucket
+            parts = [parts[(b // salt) * salt] for b in range(n_parts)]
+        return parts
+
+    @ray.remote
+    def join_bucket(n_left: int, *parts: pa.Table) -> pa.Table:
+        lefts = [p for p in parts[:n_left] if p.num_rows]
+        rights = [p for p in parts[n_left:] if p.num_rows]
+        if not lefts or not rights:
+            # empty inner join still needs the full output schema; hunt for
+            # any part that carries it (schema-less empty blocks exist)
+            lt = next((p for p in parts[:n_left]
+                       if left_key in p.schema.names), None)
+            rt = next((p for p in parts[n_left:]
+                       if right_key in p.schema.names), None)
+            if lt is None or rt is None:
+                return pa.table({})
+            return lt.slice(0, 0).join(
+                rt.slice(0, 0), keys=[left_key], right_keys=[right_key],
+                join_type="inner",
+            )
+        lt = pa.concat_tables(lefts).combine_chunks()
+        rt = pa.concat_tables(rights).combine_chunks()
+        return lt.join(rt, keys=[left_key], right_keys=[right_key],
+                       join_type="inner")
+
+    left_refs = left_ds.to_arrow_refs()
+    right_refs = right_ds.to_arrow_refs()
+    left_maps = [map_side.options(num_returns=n_parts).remote(b, left_key, False)
+                 for b in left_refs]
+    right_maps = [map_side.options(num_returns=n_parts).remote(b, right_key, True)
+                  for b in right_refs]
+    if n_parts == 1:
+        left_maps = [[r] for r in left_maps]
+        right_maps = [[r] for r in right_maps]
+    joined = [
+        join_bucket.remote(
+            len(left_maps),
+            *[m[b] for m in left_maps],
+            *[m[b] for m in right_maps],
+        )
+        for b in range(n_parts)
+    ]
+    return ray.data.from_arrow_refs(joined)
+
+
 def sampling_variance(
     ds: ray.data.Dataset,
     column: str,

@@ -6,7 +6,15 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from biosample_enricher_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from biosample_enricher_ray.pipelines.queries import (
+    EXTRA_ORACLE_SQL,
+    EXTRA_QUERIES,
+    ORACLE_SQL,
+    QUERIES,
+)
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
@@ -45,10 +53,17 @@ def _to_pandas(obj):
     raise TypeError(type(obj))
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_driver_registry_is_fully_oracle_backed():
+    """Every driver-registered query must have an oracle, and the registry
+    must fit the driver's 50-query correctness window."""
+    assert set(QUERIES) == set(ORACLE_SQL)
+    assert len(QUERIES) <= 50
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE_SQL))
 def test_query_matches_oracle(name, con, sf01_dir):
-    ray_out = _normalize(_to_pandas(QUERIES[name](sf01_dir)))
-    sql_out = _normalize(con.execute(ORACLE_SQL[name]).df())
+    ray_out = _normalize(_to_pandas(ALL_QUERIES[name](sf01_dir)))
+    sql_out = _normalize(con.execute(ALL_ORACLE_SQL[name]).df())
     assert list(ray_out.columns) == list(sql_out.columns), (
         f"{name}: columns {list(ray_out.columns)} != {list(sql_out.columns)}"
     )
@@ -61,23 +76,23 @@ def test_query_matches_oracle(name, con, sf01_dir):
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLE_SQL)))
 def test_rows_only_queries_run(name, sf01_dir):
-    out = _to_pandas(QUERIES[name](sf01_dir))
+    out = _to_pandas(ALL_QUERIES[name](sf01_dir))
     assert out is not None
     # deterministic across invocations
     if name in ("simhash_documents", "fingerprint_documents", "hll_distinct_documents",
                 "minhash_pairs_documents", "dedup_clusters_documents",
                 "ann_ivf_topk_embeddings"):
-        again = _to_pandas(QUERIES[name](sf01_dir))
+        again = _to_pandas(ALL_QUERIES[name](sf01_dir))
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), again.reset_index(drop=True)
         )
 
 
 def test_hll_close_to_exact(sf01_dir):
-    hll = _to_pandas(QUERIES["hll_distinct_documents"](sf01_dir))
-    exact = _to_pandas(QUERIES["distinct_counts_documents"](sf01_dir))
+    hll = _to_pandas(ALL_QUERIES["hll_distinct_documents"](sf01_dir))
+    exact = _to_pandas(ALL_QUERIES["distinct_counts_documents"](sf01_dir))
     assert abs(hll["n_langs_hll"][0] - exact["n_langs"][0]) <= 1
     assert abs(hll["n_sources_hll"][0] - exact["n_sources"][0]) <= 2
     n_docs = 500

@@ -201,3 +201,82 @@ def test_deterministic_group_cap_partial_bounds_shuffle_rows():
     hot = out[out["key"] == "hot"]
     # top-5 scores of the hot key survive exactly
     assert sorted(hot["score"]) == list(range(4000 - 5, 4000))
+
+
+def test_shuffle_hash_join_matches_pandas_merge():
+    """Inner equi-join over two 'fact' tables: every (key multiplicity)
+    combination — 0, 1, many on each side — must match pandas merge."""
+    import numpy as np
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(20, 60, 150),  # keys 0-19 unmatched, 40-59 right-only
+        "rv": np.arange(150, dtype=np.int64) * 10,
+    })
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(4)
+    got = (shuffle_hash_join(lds, "k", rds, "rk").to_pandas()
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    want = (left.merge(right, left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    assert got[["k", "lv", "rv"]].equals(want[["k", "lv", "rv"]])
+
+
+def test_shuffle_hash_join_salted_matches_unsalted():
+    """salt > 1 (replicated right / round-robin left) must produce exactly
+    the same joined rows as the plain partitioned join, including a hot key."""
+    import numpy as np
+    import pandas as pd
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = pd.DataFrame({
+        "k": np.concatenate([np.zeros(200, np.int64),          # hot key
+                             np.arange(1, 51, dtype=np.int64)]),
+        "lv": np.arange(250, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": np.arange(0, 60, dtype=np.int64),
+        "rv": np.arange(0, 60, dtype=np.int64) * 7,
+    })
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    def run(salt):
+        return (shuffle_hash_join(lds, "k", rds, "rk", salt=salt).to_pandas()
+                .sort_values(["k", "lv"]).reset_index(drop=True))
+
+    plain, salted = run(1), run(4)
+    assert plain.equals(salted)
+    assert len(plain) == 250  # every left row matches exactly once
+
+
+def test_shuffle_hash_join_null_keys_and_empty_blocks():
+    """NULL join keys never match (SQL inner semantics); blocks emptied by
+    an upstream filter must not break the exchange."""
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = ray.data.from_items(
+        [{"k": None if i % 3 == 0 else i % 5, "lv": i} for i in range(30)],
+        override_num_blocks=6,
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["lv"], 12)), batch_format="pyarrow"
+    )
+    right = ray.data.from_items(
+        [{"rk": i, "rv": i * 100} for i in range(4)], override_num_blocks=2
+    )
+    got = shuffle_hash_join(left, "k", right, "rk").to_pandas()
+    # surviving lv<12 rows with non-null key matching rk in {0..3}
+    # (lv=4 has k=4, outside the right key range; lv=0,3,6,9 have NULL keys)
+    assert set(got["lv"]) == {1, 2, 5, 7, 8, 10, 11}
+    assert (got["rv"] == got["k"] * 100).all()

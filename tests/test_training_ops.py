@@ -132,14 +132,16 @@ def test_repetition_stats_flags_dominant_token(docs_dir):
 
     out = repetition_stats_documents(docs_dir)
     en = out[out["lang"] == "en"].iloc[0]
-    # doc 0 flagged (5*5 >= 8), doc 1 not (1*5 < 5 is false: 5 >= 5 -> also
-    # flagged by the >= contract? top_n=1, n_tokens=5 -> 5 >= 5 flags it)
+    # STRICT > contract (ADVICE r3): doc 0 flagged (5*5 > 8); doc 1 is
+    # all-distinct (top 1 of 5 tokens = exactly 20%, 5 > 5 false) — the
+    # short clean doc is NOT branded repetitious anymore
     assert en["n_docs"] == 2
-    assert en["n_flagged"] == 2
+    assert en["n_flagged"] == 1
     fr = out[out["lang"] == "fr"].iloc[0]
-    # doc 2: top 2 of 3 -> 10 >= 3 flagged; doc 3: top 2 of 3 -> flagged
+    # doc 2: top 2 of 3 -> 10 > 3 flagged; doc 3: top 2 of 3 -> flagged
     assert fr["n_flagged"] == 2
     unk = out[out["lang"] == "?"].iloc[0]
+    # doc 4 'one two': top 1 of 2 = 50% -> 5 > 2 flagged
     assert unk["n_docs"] == 1 and unk["sum_tokens"] == 2
 
 
