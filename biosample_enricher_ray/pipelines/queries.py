@@ -1606,19 +1606,21 @@ def binary_features_documents(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table({"doc_id": t["doc_id"], "payload": payload})
 
+    qcols = [f"mean_q{q}_milli" for q in (1, 2, 3, 4)]
     out = (
         ds.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(BinaryFeatures, batch_format="pyarrow",
                      concurrency=_pool())
         .select_columns(["doc_id", "n_bytes", "n_distinct_bytes", "entropy",
-                         "sniffed_format"])
+                         "sniffed_format"] + qcols)
         .to_pandas()
     )
     out["entropy_milli"] = np.floor(out["entropy"] * 1000.0 + 0.5).astype("int64")
     out = out.drop(columns=["entropy"]).rename(columns={"sniffed_format": "sniffed"})
-    for c in ("doc_id", "n_bytes", "n_distinct_bytes"):
+    for c in ["doc_id", "n_bytes", "n_distinct_bytes"] + qcols:
         out[c] = out[c].astype("int64")
-    return (out[["doc_id", "n_bytes", "n_distinct_bytes", "entropy_milli", "sniffed"]]
+    return (out[["doc_id", "n_bytes", "n_distinct_bytes", "entropy_milli",
+                 "sniffed"] + qcols]
             .sort_values("doc_id", ignore_index=True))
 
 
@@ -2356,18 +2358,35 @@ def _batch_bigrams(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
     return ids[parent[:-1][valid]].astype(np.int64), big
 
 
-def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
+def _bigram_lm_scores(
+    sf_dir: str, *, broadcast_model_limit: int = 2_000_000
+) -> pd.DataFrame:
     """N-gram LM commonality scoring (the count-based core of perplexity
-    filtering): pass 1 builds the global bigram-count model with an
-    in-batch value_counts combiner → key-only groupby-sum; pass 2 scores
-    each doc as the sum of model counts over its bigrams and keeps a
-    per-batch top-20 by hits/bigram (lossless for the global cut), so the
-    driver sorts only candidates. The model is broadcast via ``ray.put``;
-    the documented scale path for a web-sized model is the Misra-Gries
-    heavy-hitter cap (functions/sketches.py) or the hash-partitioned join
-    (stages/shuffle.py) — never a driver-side full-vocab gather at 100 TB.
+    filtering) with an AUTOMATIC broadcast-vs-partitioned model switch
+    (round-3 VERDICT ask #5 — the broadcast-only path breaks when a
+    web-scale model outgrows ``ray.put``).
+
+    Pass 1 builds the global bigram-count model with an in-batch
+    value_counts combiner → key-only groupby-sum, MATERIALIZED once (the
+    model is the exchange product, tiny next to the corpus; at web scale it
+    is exactly the thing the partitioned join needs resident).
+
+    Pass 2, by model size:
+    - ``rows <= broadcast_model_limit``: the model dict broadcasts via
+      ``ray.put`` and each batch scores locally (no second shuffle); the
+      per-batch top-20 by hits/bigram is lossless because per-doc rows are
+      complete per batch.
+    - larger: NO broadcast — (doc_id, bigram) occurrence pairs hash-join
+      the model on the bigram key (stages/shuffle.py shuffle_hash_join,
+      salt=2 for zipf-hot bigrams like 'of the'), per-doc partials combine
+      in-batch, a key-only groupby(doc_id) finishes the sums, and the
+      lossless top-20 cut runs AFTER the aggregate (only there are per-doc
+      rows complete). Identical results by construction; tested equal.
+
     Integer-only output; the sort ratio is one IEEE division shared with
     the oracle."""
+    from ..stages.shuffle import shuffle_hash_join
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def model_part(t: pa.Table) -> pa.Table:
@@ -2376,34 +2395,86 @@ def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"bigram": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    model = (
+    model_ds = (
         ds.map_batches(model_part, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .materialize()
     )
-    model_ref = ray.put(dict(zip(model["bigram"], model["n"].astype(np.int64))))
+    empty_scores = pa.schema([("doc_id", pa.int64()),
+                              ("n_bigrams", pa.int64()),
+                              ("lm_hits", pa.int64())])
 
-    def score(t: pa.Table) -> pa.Table:
-        lm = ray.get(model_ref)
-        ids, big = _batch_bigrams(t)
-        if len(ids) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_bigrams": pa.array([], pa.int64()),
-                             "lm_hits": pa.array([], pa.int64())})
-        df = pd.DataFrame({"doc_id": ids,
-                           "c": pd.Series(big.to_pandas()).map(lm)})
-        per = df.groupby("doc_id")["c"].agg(["size", "sum"]).reset_index()
-        per.columns = ["doc_id", "n_bigrams", "lm_hits"]
-        # per-doc rows are COMPLETE (docs never split across batches), so a
-        # per-batch top-20 by the final sort key is a lossless candidate cut
+    def cut_top20(per: pd.DataFrame) -> pd.DataFrame:
         per["ratio"] = per["lm_hits"] / per["n_bigrams"]
         per = per.sort_values(["ratio", "doc_id"],
                               ascending=[False, True]).head(20)
-        return pa.Table.from_pandas(
-            per[["doc_id", "n_bigrams", "lm_hits"]], preserve_index=False)
+        return per[["doc_id", "n_bigrams", "lm_hits"]]
 
-    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if model_ds.count() <= broadcast_model_limit:
+        model = model_ds.to_pandas()
+        model_ref = ray.put(
+            dict(zip(model["bigram"], model["n"].astype(np.int64))))
+
+        def score(t: pa.Table) -> pa.Table:
+            lm = ray.get(model_ref)
+            ids, big = _batch_bigrams(t)
+            if len(ids) == 0:
+                return empty_scores.empty_table()
+            df = pd.DataFrame({"doc_id": ids,
+                               "c": pd.Series(big.to_pandas()).map(lm)})
+            per = df.groupby("doc_id")["c"].agg(["size", "sum"]).reset_index()
+            per.columns = ["doc_id", "n_bigrams", "lm_hits"]
+            # per-doc rows are COMPLETE (docs never split across batches), so
+            # a per-batch top-20 by the final sort key is a lossless cut
+            return pa.Table.from_pandas(cut_top20(per), preserve_index=False)
+
+        cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    else:
+        def pairs_part(t: pa.Table) -> pa.Table:
+            ids, big = _batch_bigrams(t)
+            if len(ids) == 0:
+                return pa.schema([("doc_id", pa.int64()),
+                                  ("bigram", pa.string())]).empty_table()
+            return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64)),
+                             "bigram": big})
+
+        pairs = ds.map_batches(pairs_part, batch_format="pyarrow")
+        joined = shuffle_hash_join(pairs, "bigram", model_ds, "bigram",
+                                   salt=2)
+
+        def per_doc_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_id" not in t.schema.names:
+                return empty_scores.empty_table()
+            df = pd.DataFrame({
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            })
+            g = df.groupby("doc_id")["n"].agg(["size", "sum"])
+            return pa.table({
+                "doc_id": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "n_bigrams": pa.array(g["size"].to_numpy(dtype=np.int64)),
+                "lm_hits": pa.array(g["sum"].to_numpy(dtype=np.int64)),
+            })
+
+        totals = (
+            joined.map_batches(per_doc_partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                       Sum("lm_hits", alias_name="lm_hits"))
+        )
+
+        def cut(t: pa.Table) -> pa.Table:
+            # per-doc rows are complete AFTER the aggregate → lossless cut
+            if t.num_rows == 0:
+                return empty_scores.empty_table()
+            per = t.to_pandas()
+            per["n_bigrams"] = per["n_bigrams"].astype("int64")
+            per["lm_hits"] = per["lm_hits"].astype("int64")
+            return pa.Table.from_pandas(cut_top20(per), preserve_index=False)
+
+        cand = totals.map_batches(cut, batch_format="pyarrow").to_pandas()
+
     cand["ratio"] = cand["lm_hits"] / cand["n_bigrams"]
     out = cand.sort_values(["ratio", "doc_id"],
                            ascending=[False, True]).head(20)
@@ -2411,6 +2482,12 @@ def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
+    """Registered bigram-LM query: auto-selects broadcast vs partitioned
+    model path by model size (see _bigram_lm_scores)."""
+    return _bigram_lm_scores(sf_dir)
 
 
 def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
@@ -3165,17 +3242,33 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "    WHEN 2 THEN 'GIF89a'::BLOB || encode(text)"
         "    ELSE encode(text) END) AS h"
         "  FROM documents"
-        "), freq AS ("
-        "  SELECT doc_id, len(h) // 2 AS n,"
-        "    substring(h, 2 * i.i - 1, 2) AS b, COUNT(*) AS c"
+        "), bytes_pos AS ("
+        "  SELECT doc_id, len(h) // 2 AS n, i.i AS i,"
+        "    (strpos('0123456789ABCDEF', substring(h, 2 * i.i - 1, 1)) - 1)"
+        "      * 16 +"
+        "    (strpos('0123456789ABCDEF', substring(h, 2 * i.i, 1)) - 1) AS v"
         "  FROM payload, unnest(range(1, len(h) // 2 + 1)) AS i(i)"
-        "  GROUP BY 1, 2, 3"
+        "), freq AS ("
+        "  SELECT doc_id, ANY_VALUE(n) AS n, v AS b, COUNT(*) AS c"
+        "  FROM bytes_pos GROUP BY doc_id, v"
         "), ent AS ("
         "  SELECT doc_id, ANY_VALUE(n) AS n_bytes,"
         "    CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,"
         "    log2(CAST(ANY_VALUE(n) AS DOUBLE))"
         "      - SUM(c * log2(CAST(c AS DOUBLE))) / ANY_VALUE(n) AS entropy"
         "  FROM freq GROUP BY doc_id"
+        # per-quartile byte means: 0-indexed position p is in tile
+        # floor(4p/n) — identical integer partition to the engine's
+        # ceil(q*n/4) boundaries; floor-half-up milli-units on both sides
+        "), quart AS ("
+        "  SELECT doc_id,"
+        + ", ".join(
+            f"    CAST(FLOOR(SUM(CASE WHEN (4 * (i - 1)) // n = {q} THEN v END)"
+            f" * 1000.0 / COUNT(CASE WHEN (4 * (i - 1)) // n = {q} THEN 1 END)"
+            f" + 0.5) AS BIGINT) AS mean_q{q + 1}_milli"
+            for q in range(4)
+        ) +
+        "  FROM bytes_pos GROUP BY doc_id"
         ") SELECT CAST(e.doc_id AS BIGINT) AS doc_id,"
         "  CAST(e.n_bytes AS BIGINT) AS n_bytes, e.n_distinct_bytes,"
         "  CAST(FLOOR(e.entropy * 1000 + 0.5) AS BIGINT) AS entropy_milli,"
@@ -3183,8 +3276,10 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "       WHEN substring(pl.h, 1, 6) = 'FFD8FF' THEN 'jpeg'"
         "       WHEN substring(pl.h, 1, 12) IN ('474946383761', '474946383961')"
         "         THEN 'gif'"
-        "       ELSE 'unknown' END AS sniffed "
-        "FROM ent e JOIN payload pl USING (doc_id) ORDER BY doc_id"
+        "       ELSE 'unknown' END AS sniffed,"
+        "  q.mean_q1_milli, q.mean_q2_milli, q.mean_q3_milli, q.mean_q4_milli "
+        "FROM ent e JOIN payload pl USING (doc_id) "
+        "JOIN quart q USING (doc_id) ORDER BY doc_id"
     ),
     # Planted-pair list IS the full expected output (see the query docstring:
     # organic cosine tops out ~0.6 << 0.95, copies are exact).

@@ -219,32 +219,90 @@ def test_embedding_near_dups():
     assert got == {(0, 1)}
 
 
-def test_multimodal_stub_plumbing():
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + len(ihdr).to_bytes(4, "big") + b"IHDR"
+            + ihdr + b"\x00" * 8)
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    # SOI, APP0 segment, SOF0 with dims, filler
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03")
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 16
+
+
+def test_image_decoder_parses_real_headers():
+    """Real codec-free header parsing: PNG IHDR, JPEG SOF0 marker walk, GIF
+    screen descriptor; garbage/null payloads get decode_ok=False (corrupt
+    rows are data, not errors)."""
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
     rows = [
-        {"doc_id": 1, "payload": b"\x01\x02\x03\x04" * 2048},
-        {"doc_id": 2, "payload": None},
+        {"doc_id": 1, "payload": _png_bytes(640, 480)},
+        {"doc_id": 2, "payload": _jpeg_bytes(1920, 1080)},
+        {"doc_id": 3, "payload": gif},
+        {"doc_id": 4, "payload": b"\x01\x02\x03\x04" * 100},  # garbage
+        {"doc_id": 5, "payload": None},
     ]
     ds = ray.data.from_items(rows)
     out = ds.map_batches(
         ImageDecoder, fn_constructor_kwargs=dict(payload_column="payload"),
         batch_format="pyarrow", batch_size=64, concurrency=2,
-    ).to_pandas()
-    assert out.loc[out["doc_id"] == 1, "decode_ok"].item()
-    assert not out.loc[out["doc_id"] == 2, "decode_ok"].item()
-    assert out.loc[out["doc_id"] == 1, "width"].item() >= 64
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1, ["width", "height", "format"]].tolist() == [640, 480, "png"]
+    assert out.loc[1, "n_channels"] == 4  # color type 6 = RGBA
+    assert out.loc[2, ["width", "height", "format"]].tolist() == [1920, 1080, "jpeg"]
+    assert out.loc[3, ["width", "height", "format"]].tolist() == [320, 200, "gif"]
+    assert not out.loc[4, "decode_ok"] and not out.loc[5, "decode_ok"]
+    assert out.loc[[1, 2, 3], "decode_ok"].all()
 
+
+def test_audio_frame_sampler_real_dsp():
+    """Raw-PCM framing with real per-frame features: a constant payload has
+    zero RMS/ZCR after midpoint centering... (constant 128 = silence), an
+    alternating payload maximizes ZCR."""
+    silence = bytes([128]) * 8192          # 2 frames of exact midpoint
+    alternating = bytes([0, 255]) * 2048   # 1 frame, max swing
+    ds = ray.data.from_items([
+        {"doc_id": 1, "payload": silence},
+        {"doc_id": 2, "payload": alternating},
+        {"doc_id": 3, "payload": None},
+    ])
     frames = ds.map_batches(
         AudioFrameSampler, fn_constructor_kwargs=dict(payload_column="payload"),
         batch_format="pyarrow", batch_size=64, concurrency=2,
     ).to_pandas()
-    assert (frames["doc_id"] == 1).all()
-    assert len(frames) == 2  # 8 KiB fake payload → 2 frames
-    assert len(frames["features"].iloc[0]) == 4
+    s = frames[frames["doc_id"] == 1]
+    assert len(s) == 2 and (s["rms"] == 0.0).all() and (s["zcr"] == 0.0).all()
+    a = frames[frames["doc_id"] == 2].iloc[0]
+    assert a["peak"] == 1.0 and a["zcr"] > 0.99 and a["rms"] > 0.9
+    assert 3 not in set(frames["doc_id"])
 
-    import pytest
 
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(use_fake_decoder=False)
+def test_binary_features_phash_locality():
+    """byte_phash is deterministic, identical for identical payloads, and
+    closer (Hamming) for a 1-byte-perturbed copy than for unrelated bytes."""
+    from biosample_enricher_ray.stages.multimodal import BinaryFeatures
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    near = bytearray(base)
+    near[100] = (near[100] + 1) % 256  # tiny perturbation
+    far = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "payload": pa.array([base, base, bytes(near), far],
+                                      pa.binary())})
+    out = BinaryFeatures()(t).to_pandas()
+    ph = out["byte_phash"].to_numpy(dtype=np.int64).view(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ph[0] == ph[1]                      # deterministic
+    assert ham(ph[0], ph[2]) <= 8              # near-dup stays close
+    assert ham(ph[0], ph[3]) > ham(ph[0], ph[2])  # unrelated is farther
 
 
 def test_token_hashes_handle_sliced_arrays():
