@@ -179,22 +179,22 @@ def referential_events_customers(sf_dir: str) -> pd.DataFrame:
     key_ref = ray.put(keys)
     ds = _read(sf_dir, "events", columns=["user_id"])
 
-    class OrphanCounter:
-        def __init__(self) -> None:
-            self.keys = ray.get(key_ref).cast(pa.int64())
+    # task fn, not an actor pool: setup is one zero-copy ray.get of the
+    # broadcast key array (shared-memory, ~µs per batch) — a pool would pay
+    # ~2.5 s of actor startup per query invocation for no amortizable state
+    def count_orphans(t: pa.Table) -> pa.Table:
+        keys_b = ray.get(key_ref).cast(pa.int64())
+        uid = t["user_id"]
+        orphan = pc.and_(
+            pc.invert(pc.is_in(uid, value_set=keys_b)), pc.is_valid(uid)
+        )
+        n = pc.sum(pc.cast(orphan, pa.int64())).as_py() or 0
+        return pa.table(
+            {"n_orphans": pa.array([n], pa.int64()),
+             "n_rows": pa.array([len(t)], pa.int64())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            uid = t["user_id"]
-            orphan = pc.and_(
-                pc.invert(pc.is_in(uid, value_set=self.keys)), pc.is_valid(uid)
-            )
-            n = pc.sum(pc.cast(orphan, pa.int64())).as_py() or 0
-            return pa.table(
-                {"n_orphans": pa.array([n], pa.int64()),
-                 "n_rows": pa.array([len(t)], pa.int64())}
-            )
-
-    agg = ds.map_batches(OrphanCounter, batch_format="pyarrow", concurrency=_pool()).sum(
+    agg = ds.map_batches(count_orphans, batch_format="pyarrow").sum(
         ["n_orphans", "n_rows"]
     )
     return pd.DataFrame(
@@ -518,20 +518,19 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     nation_to_region = {n: r2name[r] for n, r in n2r.items()}
     map_ref = ray.put(nation_to_region)
 
-    class RegionTagger:
-        def __init__(self) -> None:
-            m = ray.get(map_ref)
-            self.keys = np.array(sorted(m))
-            self.vals = np.array([m[k] for k in self.keys], dtype=object)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, nk)
-            return pa.table({"r_name": pa.array(self.vals[idx], pa.string())})
+    # task fn (no actor pool): the dimension map is ~25 entries — per-batch
+    # ray.get + array build is µs, vs ~2.5 s pool startup per invocation
+    def tag_region(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        keys_b = np.array(sorted(m))
+        vals_b = np.array([m[k] for k in keys_b], dtype=object)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys_b, nk)
+        return pa.table({"r_name": pa.array(vals_b[idx], pa.string())})
 
     out = (
         _read(sf_dir, "customer", columns=["c_nationkey"])
-        .map_batches(RegionTagger, batch_format="pyarrow", concurrency=_pool())
+        .map_batches(tag_region, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
         .to_pandas()
@@ -702,32 +701,31 @@ def lineitem_orderdate_alignment(sf_dir: str) -> pd.DataFrame:
                        orders["o_orderdate"].to_numpy()[order_sort]))
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
-    class AlignmentChecker:
-        def __init__(self) -> None:
-            self.keys, self.dates = ray.get(map_ref)
+    # task fn: the broadcast (keys, dates) pair is zero-copy shared-memory
+    # numpy on every ray.get — no per-actor state worth a pool startup
+    def check_alignment(t: pa.Table) -> pa.Table:
+        keys_b, dates_b = ray.get(map_ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys_b, ok), 0, len(keys_b) - 1)
+        # rows whose orderkey is absent from orders are excluded entirely
+        # (inner-join semantics, matching the oracle) instead of silently
+        # reading a neighboring order's date
+        matched = keys_b[idx] == ok
+        od = dates_b[idx]
+        delta_days = (ship - od) / np.timedelta64(1, "D")
+        early = (delta_days < 0) & matched
+        late = (delta_days > 150) & matched
+        return pa.table(
+            {
+                "n_too_early": pa.array([int(early.sum())], pa.int64()),
+                "n_too_late": pa.array([int(late.sum())], pa.int64()),
+                "n_rows": pa.array([int(matched.sum())], pa.int64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(self.keys, ok), 0, len(self.keys) - 1)
-            # rows whose orderkey is absent from orders are excluded entirely
-            # (inner-join semantics, matching the oracle) instead of silently
-            # reading a neighboring order's date
-            matched = self.keys[idx] == ok
-            od = self.dates[idx]
-            delta_days = (ship - od) / np.timedelta64(1, "D")
-            early = (delta_days < 0) & matched
-            late = (delta_days > 150) & matched
-            return pa.table(
-                {
-                    "n_too_early": pa.array([int(early.sum())], pa.int64()),
-                    "n_too_late": pa.array([int(late.sum())], pa.int64()),
-                    "n_rows": pa.array([int(matched.sum())], pa.int64()),
-                }
-            )
-
-    agg = ds.map_batches(AlignmentChecker, batch_format="pyarrow",
-                         concurrency=_pool()).sum(["n_too_early", "n_too_late", "n_rows"])
+    agg = ds.map_batches(check_alignment, batch_format="pyarrow").sum(
+        ["n_too_early", "n_too_late", "n_rows"])
     return pd.DataFrame(
         {
             "n_too_early": [int(agg["sum(n_too_early)"])],
@@ -1014,31 +1012,29 @@ def cosine_scores_embeddings(sf_dir: str) -> pd.DataFrame:
     q_ref = ray.put(q_vec)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class Scorer:
-        def __init__(self) -> None:
-            q = ray.get(q_ref)
-            self.q = q / np.linalg.norm(q)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = t.filter(pc.less(t["vec_id"], 20))
-            if len(keep) == 0:
-                return pa.table(
-                    {"vec_id": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())}
-                )
-            from ..stages.ann import _to_matrix
-
-            m = _to_matrix(keep["embedding"]).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            scores = (m / norms[:, None]) @ self.q
+    # task fn: one broadcast query vector, normalized per batch (µs)
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qn = q / np.linalg.norm(q)
+        keep = t.filter(pc.less(t["vec_id"], 20))
+        if len(keep) == 0:
             return pa.table(
-                {"vec_id": keep["vec_id"],
-                 "cosine": pa.array(np.round(scores, 3))}
+                {"vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
             )
+        from ..stages.ann import _to_matrix
+
+        m = _to_matrix(keep["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (m / norms[:, None]) @ qn
+        return pa.table(
+            {"vec_id": keep["vec_id"],
+             "cosine": pa.array(np.round(scores, 3))}
+        )
 
     return (
-        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=_pool())
+        ds.map_batches(score, batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
@@ -1167,10 +1163,9 @@ def simhash_documents(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = (
-        ds.map_batches(
-            SimHasher, fn_constructor_kwargs=dict(), batch_format="pyarrow",
-            concurrency=_pool(),
-        )
+        # instance (not class) → task-based stage: SimHasher holds no real
+        # state, so the instance pickles per task and no pool spins up
+        ds.map_batches(SimHasher(), batch_format="pyarrow")
         .to_pandas()[["doc_id", "simhash"]]
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -1609,8 +1604,9 @@ def binary_features_documents(sf_dir: str) -> pd.DataFrame:
     qcols = [f"mean_q{q}_milli" for q in (1, 2, 3, 4)]
     out = (
         ds.map_batches(to_payload, batch_format="pyarrow")
-        .map_batches(BinaryFeatures, batch_format="pyarrow",
-                     concurrency=_pool())
+        # instance → task stage: setup (magic table + 32×32 DCT basis) is
+        # sub-ms, far below one actor-pool startup per query invocation
+        .map_batches(BinaryFeatures(), batch_format="pyarrow")
         .select_columns(["doc_id", "n_bytes", "n_distinct_bytes", "entropy",
                          "sniffed_format"] + qcols)
         .to_pandas()
@@ -1783,21 +1779,18 @@ def curation_pipeline_documents(sf_dir: str) -> pd.DataFrame:
     )
     ids_ref = ray.put(keep_ids)
 
-    class KeeperMeta:
-        """Broadcast semi-join: metadata rows of keeper docs only."""
-
-        def __init__(self) -> None:
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.ids.size == 0:
-                return t.slice(0, 0)
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(self.ids, ids), 0, self.ids.size - 1)
-            return t.filter(pa.array(self.ids[pos] == ids))
+    # broadcast semi-join as a task fn: keeper ids come back zero-copy from
+    # the object store per batch — no pool startup on the composed pipeline
+    def keeper_meta(t: pa.Table) -> pa.Table:
+        ids_k = ray.get(ids_ref)
+        if ids_k.size == 0:
+            return t.slice(0, 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ids_k, ids), 0, ids_k.size - 1)
+        return t.filter(pa.array(ids_k[pos] == ids))
 
     meta = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]).map_batches(
-        KeeperMeta, batch_format="pyarrow", concurrency=_pool()
+        keeper_meta, batch_format="pyarrow", zero_copy_batch=True
     )
     capped = deterministic_group_cap(
         meta, "source", k=3, rank_columns=["n_chars", "doc_id"],
@@ -2019,40 +2012,39 @@ def bloom_fpr_documents(sf_dir: str) -> pd.DataFrame:
     set_ref = ray.put(bset)
     bf_ref = ray.put(bf.to_bytes())
 
-    class Probe:
-        """Per-batch partials: (n_fp_total, n_exact_hits, n_bloom_hits,
-        n_missed) over the batch's winnowed fingerprints."""
-
-        def __init__(self) -> None:
-            self.bset = ray.get(set_ref)
-            self.bf = BloomFilter.from_bytes(ray.get(bf_ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids_ = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            vals, _ = _winnowed_fingerprints(
-                t["text"], ids_, span_tokens=_SPAN_TOKENS, shingle_k=16,
-            )
-            # bset.size guard (ADVICE r3): an empty benchmark set would make
-            # np.clip's upper bound -1 (< lower bound 0) — undefined
-            if vals.size and self.bset.size:
-                p = np.clip(np.searchsorted(self.bset, vals),
-                            0, self.bset.size - 1)
-                exact = self.bset[p] == vals
-                bloom = self.bf.contains(vals)
-                missed = int((exact & ~bloom).sum())
-                row = (len(vals), int(exact.sum()), int(bloom.sum()), missed)
-            else:
-                row = (0, 0, 0, 0)
-            return pa.table({
-                "n_fp": pa.array([row[0]], pa.int64()),
-                "n_exact": pa.array([row[1]], pa.int64()),
-                "n_bloom": pa.array([row[2]], pa.int64()),
-                "n_missed": pa.array([row[3]], pa.int64()),
-            })
+    # task fn with a per-task memo: bset is zero-copy on every ray.get; the
+    # Bloom from_bytes wrap is one frombuffer view, memoized across the
+    # batches of a multi-batch task (true per-worker amortization isn't
+    # worth an actor pool's ~2.5 s startup here)
+    def probe(t: pa.Table, _memo={}) -> pa.Table:
+        if "bf" not in _memo:
+            _memo["bset"] = ray.get(set_ref)
+            _memo["bf"] = BloomFilter.from_bytes(ray.get(bf_ref))
+        bset_b, bf_b = _memo["bset"], _memo["bf"]
+        ids_ = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, _ = _winnowed_fingerprints(
+            t["text"], ids_, span_tokens=_SPAN_TOKENS, shingle_k=16,
+        )
+        # bset.size guard (ADVICE r3): an empty benchmark set would make
+        # np.clip's upper bound -1 (< lower bound 0) — undefined
+        if vals.size and bset_b.size:
+            p = np.clip(np.searchsorted(bset_b, vals), 0, bset_b.size - 1)
+            exact = bset_b[p] == vals
+            bloom = bf_b.contains(vals)
+            missed = int((exact & ~bloom).sum())
+            row = (len(vals), int(exact.sum()), int(bloom.sum()), missed)
+        else:
+            row = (0, 0, 0, 0)
+        return pa.table({
+            "n_fp": pa.array([row[0]], pa.int64()),
+            "n_exact": pa.array([row[1]], pa.int64()),
+            "n_bloom": pa.array([row[2]], pa.int64()),
+            "n_missed": pa.array([row[3]], pa.int64()),
+        })
 
     agg = (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(Probe, batch_format="pyarrow", concurrency=_pool())
+        .map_batches(probe, batch_format="pyarrow")
         .sum(["n_fp", "n_exact", "n_bloom", "n_missed"])
     )
     n_fp = int(agg["sum(n_fp)"])

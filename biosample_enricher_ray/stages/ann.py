@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from . import taskify
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<float> column → (n, d) float32 matrix, zero rows for nulls."""
@@ -114,12 +116,11 @@ def brute_force_topk(
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    # taskify: setup is one zero-copy ray.get + a normalize over the small
+    # query matrix — rebuilt per task in sub-ms, no actor-pool startup
     partials = ds.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=q_ref, k=k, id_column=id_column,
-            embedding_column=embedding_column,
-        ),
+        taskify(CosineTopK, queries_ref=q_ref, k=k, id_column=id_column,
+                embedding_column=embedding_column),
         batch_format="pyarrow",
         concurrency=concurrency,
     ).to_pandas()  # num_batches × k × q rows — small
@@ -259,11 +260,9 @@ def ivf_topk(
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
     partials = ds.map_batches(
-        IVFLocalTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=q_ref, centroids_ref=c_ref, k=k, n_probe=n_probe,
-            id_column=id_column, embedding_column=embedding_column,
-        ),
+        taskify(IVFLocalTopK, queries_ref=q_ref, centroids_ref=c_ref, k=k,
+                n_probe=n_probe, id_column=id_column,
+                embedding_column=embedding_column),
         batch_format="pyarrow",
         concurrency=concurrency,
     ).to_pandas()
@@ -328,9 +327,8 @@ def embedding_near_dup_pairs(
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     bucketed = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
-                                   embedding_column=embedding_column),
+        taskify(HyperplaneBucketer, dim=dim, n_planes=n_planes,
+                embedding_column=embedding_column),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

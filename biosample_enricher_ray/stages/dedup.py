@@ -266,45 +266,42 @@ def exact_dedup_groups(
         return singles
     dup_ref = ray.put(dup_hashes)
 
-    class CandidateFilter:
-        """Phase 3: keep only rows whose content hash is duplicated."""
+    def filter_candidates(t: pa.Table) -> pa.Table:
+        """Phase 3: keep only rows whose content hash is duplicated.
 
-        def __init__(self) -> None:
-            self.dups = ray.get(dup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or text_column not in t.schema.names:
-                return pa.schema(
-                    [(id_column, pa.int64()), (text_column, pa.string()),
-                     ("__h", pa.int64())]
-                ).empty_table()
-            h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
-            pos = np.clip(np.searchsorted(self.dups, h), 0, self.dups.size - 1)
-            mask = self.dups[pos] == h
-            keep = t.filter(pa.array(mask))
-            return pa.table(
-                {
-                    id_column: keep[id_column],
-                    text_column: keep[text_column],
-                    "__h": pa.array(h[mask]),
-                }
-            )
+        Task fn, not an actor pool: the only state is the broadcast dup-hash
+        array, which every ray.get returns as a zero-copy shared-memory view
+        — a pool would pay ~2.5 s of actor startup per invocation."""
+        if t.num_rows == 0 or text_column not in t.schema.names:
+            return pa.schema(
+                [(id_column, pa.int64()), (text_column, pa.string()),
+                 ("__h", pa.int64())]
+            ).empty_table()
+        dups = ray.get(dup_ref)
+        h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
+        pos = np.clip(np.searchsorted(dups, h), 0, dups.size - 1)
+        mask = dups[pos] == h
+        keep = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                id_column: keep[id_column],
+                text_column: keep[text_column],
+                "__h": pa.array(h[mask]),
+            }
+        )
 
     if paths is not None:
         @ray.remote
         def fetch_candidates(files: list[str]) -> pa.Table:
             t = _read_pruned(files, [id_column, text_column])
-            return CandidateFilter()(t)
+            return filter_candidates(t)
 
         cand = ray.data.from_arrow_refs(
             [fetch_candidates.remote(c) for c in chunks]
         )
     else:
         # re-execute the lazy plan with the candidate filter (second scan)
-        cand = src.map_batches(
-            CandidateFilter, batch_format="pyarrow",
-            concurrency=max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
-        )
+        cand = src.map_batches(filter_candidates, batch_format="pyarrow")
 
     resolved = _resolve_candidates(cand, text_column, id_column)
     return singles.union(resolved)
@@ -366,33 +363,31 @@ def exact_dedup_groups_gated(
                              (text_column, pa.string()),
                              ("__h", pa.int64())])
 
-    class GatedCandidateFilter:
-        """Scan 2: cheap hash membership first, expensive gate on survivors."""
+    def gated_candidate_filter(t: pa.Table) -> pa.Table:
+        """Scan 2: cheap hash membership first, expensive gate on survivors.
 
-        def __init__(self) -> None:
-            self.dups = ray.get(dup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or text_column not in t.schema.names:
-                return cand_schema.empty_table()
-            h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
-            pos = np.clip(np.searchsorted(self.dups, h), 0, self.dups.size - 1)
-            matched = t.filter(pa.array(self.dups[pos] == h))
-            if matched.num_rows == 0:
-                return cand_schema.empty_table()
-            kept = gate_fn(matched)
-            if kept.num_rows == 0:
-                return cand_schema.empty_table()
-            kh = np.asarray(hf(kept[text_column]), dtype=np.uint64).view(np.int64)
-            return pa.table({
-                id_column: kept[id_column],
-                text_column: kept[text_column],
-                "__h": pa.array(kh),
-            })
+        Task fn — the broadcast dup-hash array is a zero-copy shared-memory
+        view on every ray.get, so there is no per-actor state to amortize."""
+        if t.num_rows == 0 or text_column not in t.schema.names:
+            return cand_schema.empty_table()
+        dups = ray.get(dup_ref)
+        h = np.asarray(hf(t[text_column]), dtype=np.uint64).view(np.int64)
+        pos = np.clip(np.searchsorted(dups, h), 0, dups.size - 1)
+        matched = t.filter(pa.array(dups[pos] == h))
+        if matched.num_rows == 0:
+            return cand_schema.empty_table()
+        kept = gate_fn(matched)
+        if kept.num_rows == 0:
+            return cand_schema.empty_table()
+        kh = np.asarray(hf(kept[text_column]), dtype=np.uint64).view(np.int64)
+        return pa.table({
+            id_column: kept[id_column],
+            text_column: kept[text_column],
+            "__h": pa.array(kh),
+        })
 
     cand = make_source().map_batches(
-        GatedCandidateFilter, batch_format="pyarrow",
-        concurrency=max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+        gated_candidate_filter, batch_format="pyarrow"
     )
     resolved = _resolve_candidates(cand, text_column, id_column)
     return singles.union(resolved)
@@ -749,21 +744,18 @@ def minhash_lsh_candidates(
         map_refs = [map_files.options(num_returns=num_buckets).remote(c)
                     for c in chunks]
     else:
-        class BandRowEmitter:
-            """Actor-pool stage: permutation tables built once per actor."""
-
-            def __init__(self) -> None:
-                self.mh = MinHasher(emit_sig=False, **mh_kwargs)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                flat_k, flat_id = _band_rows(t, self.mh)
-                return pa.table({"k": pa.array(flat_k.view(np.int64)),
-                                 "id": pa.array(flat_id)})
+        def emit_band_rows(t: pa.Table, _memo={}) -> pa.Table:
+            # task fn: the MinHasher permutation tables rebuild in sub-ms
+            # (memoized across a task's batches) — no actor-pool startup
+            mh = _memo.get("mh")
+            if mh is None:
+                mh = _memo["mh"] = MinHasher(emit_sig=False, **mh_kwargs)
+            flat_k, flat_id = _band_rows(t, mh)
+            return pa.table({"k": pa.array(flat_k.view(np.int64)),
+                             "id": pa.array(flat_id)})
 
         band_refs = src.map_batches(
-            BandRowEmitter, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency
-            or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2),
+            emit_band_rows, batch_format="pyarrow", zero_copy_batch=True,
         ).to_arrow_refs()
 
         @ray.remote
