@@ -400,8 +400,9 @@ def main() -> None:
         ray.data.DataContext.get_current().enable_progress_bars = False
         try:
             print(json.dumps(run_salt_bench(ensure_corpus(BENCH_ROWS))))
+            sys.stdout.flush()
         finally:
-            ray.shutdown()
+            _shutdown_and_exit()
         return
 
     if args.scaling:
@@ -534,7 +535,10 @@ def main() -> None:
                         "timed runs",
             "pairs": pairs,
         }))
-        return
+        sys.stdout.flush()
+        # hard exit: a leg child wedged in ray.shutdown must not keep the
+        # parent (and the caller's timeout) alive after the JSON is out
+        os._exit(0)
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -587,8 +591,35 @@ def main() -> None:
             "rows_per_sec": round(headline["rows_per_sec"], 1),
             "all_runs_sec": headline.get("all_runs_sec"),
         }))
+        sys.stdout.flush()
     finally:
+        _shutdown_and_exit()
+
+
+def _shutdown_and_exit(timeout_s: float = 30.0) -> None:
+    """ray.shutdown() with a hard exit fallback.
+
+    ray.shutdown() was observed to wedge indefinitely after long
+    multi-pipeline sessions on this host (the JSON is already printed by
+    then). A watchdog thread hard-exits the process if shutdown doesn't
+    return within ``timeout_s`` — the result is on stdout either way, and a
+    wedged benchmark would otherwise eat the caller's whole timeout."""
+    import threading
+
+    import ray
+
+    def _force_exit():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    watchdog = threading.Timer(timeout_s, _force_exit)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
         ray.shutdown()
+    finally:
+        watchdog.cancel()
 
 
 if __name__ == "__main__":
