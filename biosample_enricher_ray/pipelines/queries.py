@@ -51,13 +51,6 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _pool() -> int:
-    """Actor-pool size from session resources (validate.py's sizing rule):
-    all CPUs minus 2 kept free for read/shuffle tasks. The round-2 hardcoded
-    ``concurrency=2`` pools ran 2 actors while 30 cores idled."""
-    return max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-
-
 # --------------------------------------------------------------------------
 # Validation-engine queries (checks recast over the shared testdata)
 # --------------------------------------------------------------------------
