@@ -279,6 +279,213 @@ def ivf_topk(
     return out
 
 
+# ------------------------------------------------- distributed k-means
+
+
+class _KMeansPartials:
+    """Per-batch Lloyd partials against broadcast centroids: one row per
+    non-empty cluster with (cluster, count, per-dimension float64 sums).
+    Rows are k-bounded per batch, so the follow-up ``groupby("cluster")``
+    shuffles at most k × num_batches tiny rows — never the vectors."""
+
+    def __init__(self, centroids_ref, embedding_column: str = "embedding") -> None:
+        c = centroids_ref
+        if isinstance(c, ray.ObjectRef):
+            c = ray.get(c)
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch[self.embedding_column]).astype(np.float64))
+        if not len(vecs):
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64()),
+                             "vecsum": pa.array([], pa.list_(pa.float64()))})
+        assign = np.argmax(vecs @ self.cents.T, axis=1)
+        k, d = self.cents.shape
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, vecs)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "cluster": pa.array(nz.astype(np.int64)),
+            "count": pa.array(counts[nz].astype(np.int64)),
+            "vecsum": pa.array(list(sums[nz])),
+        })
+
+
+def kmeans_distributed(
+    ds: ray.data.Dataset,
+    *,
+    n_clusters: int = 16,
+    iters: int = 10,
+    seed: int = 13,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    concurrency: int | None = None,
+) -> np.ndarray:
+    """Spherical Lloyd k-means where EVERY iteration streams the full
+    dataset: assign per batch against broadcast centroids, reduce the
+    k-bounded per-batch (count, sum) partials with one small
+    ``groupby("cluster")`` shuffle, update on the driver (k × d doubles).
+
+    Unlike :func:`build_ivf_centroids` (driver-sample training, the bounded
+    IVF path), this is the exact-assignment iterative algorithm — the shape
+    a 100 TB corpus needs: per-iteration cost is one map pass plus a shuffle
+    of ≤ k × num_batches rows of k-bounded partials; vectors never move.
+
+    Init is deterministic and block-order independent: the ``n_clusters``
+    vectors whose Knuth-hashed ids are globally smallest (a uniform
+    pseudo-random draw reproducible on any cluster size).
+    """
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    mult, mod = np.uint64(2654435761 + 2 * seed), np.uint64(4294967296)
+
+    def init_partials(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             id_column: pa.array([], pa.int64()),
+                             embedding_column: pa.array([], pa.list_(pa.float64()))})
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids % mod) * mult % mod
+        order = np.argsort(h, kind="stable")[:n_clusters]
+        vecs = _to_matrix(t[embedding_column]).astype(np.float64)[order]
+        return pa.table({"h": pa.array(h[order]),
+                         id_column: pa.array(ids[order].astype(np.int64)),
+                         embedding_column: pa.array(list(vecs))})
+
+    seeds = (
+        ds.select_columns([id_column, embedding_column])
+        .map_batches(init_partials, batch_format="pyarrow",
+                     concurrency=concurrency)
+        .to_pandas()  # ≤ k rows per batch
+        .sort_values(["h", id_column])
+        .head(n_clusters)
+    )
+    cents = _normalize(np.stack(seeds[embedding_column].to_numpy()))
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+        merged = (
+            ds.select_columns([embedding_column])
+            .map_batches(
+                taskify(_KMeansPartials, centroids_ref=c_ref,
+                        embedding_column=embedding_column),
+                batch_format="pyarrow", concurrency=concurrency,
+            )
+            .groupby("cluster")
+            .map_groups(
+                lambda g: pd.DataFrame({
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "count": [int(g["count"].sum())],
+                    "vecsum": [np.sum(np.stack(g["vecsum"].to_numpy()), axis=0)],
+                }),
+                batch_format="pandas",
+            )
+            .to_pandas()  # exactly ≤ k rows
+        )
+        new = cents.copy()
+        for _, row in merged.iterrows():
+            if row["count"]:
+                new[int(row["cluster"])] = row["vecsum"] / row["count"]
+        cents = _normalize(new)
+    return cents
+
+
+class _ClusterAssigner:
+    """Appends the nearest-centroid id per row (broadcast centroids)."""
+
+    def __init__(self, centroids_ref, embedding_column: str = "embedding") -> None:
+        c = centroids_ref
+        if isinstance(c, ray.ObjectRef):
+            c = ray.get(c)
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch[self.embedding_column]).astype(np.float64))
+        assign = (np.argmax(vecs @ self.cents.T, axis=1)
+                  if len(vecs) else np.array([], dtype=np.int64))
+        return batch.append_column("cluster", pa.array(assign.astype(np.int64)))
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iters: int = 8,
+    centroids: np.ndarray | None = None,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering
+    plus within-cluster cosine pruning. Returns the REMOVED rows as
+    (removed_id, kept_id, cluster): greedy in ascending id order, a row is
+    removed iff an already-kept row in its cluster has cosine ≥ threshold
+    (keep-lowest-id, the same keeper rule as the MinHash cluster family).
+
+    Scale shape: clustering is :func:`kmeans_distributed` (vectors never
+    shuffled); the only vector movement is ONE ``groupby("cluster")`` that
+    co-locates each cluster for its exact pairwise pass. Per-cluster work is
+    O(c²) in cluster size — n_clusters is the knob that bounds c (the paper
+    runs k ≈ 100k on web-scale corpora for the same reason); a skewed giant
+    cluster must fit one reducer, the documented partitioning assumption.
+    """
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    if centroids is None:
+        centroids = kmeans_distributed(
+            ds, n_clusters=n_clusters, iters=kmeans_iters,
+            id_column=id_column, embedding_column=embedding_column,
+            concurrency=concurrency,
+        )
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = ds.select_columns([id_column, embedding_column]).map_batches(
+        taskify(_ClusterAssigner, centroids_ref=c_ref,
+                embedding_column=embedding_column),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"removed_id": pd.Series(dtype="int64"),
+                              "kept_id": pd.Series(dtype="int64"),
+                              "cluster": pd.Series(dtype="int64")})
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g[id_column].to_numpy(), kind="stable")
+        ids = g[id_column].to_numpy()[order]
+        vecs = _normalize(np.stack(g[embedding_column].to_numpy())
+                          .astype(np.float64)[order])
+        sims = vecs @ vecs.T
+        kept_mask = np.zeros(len(ids), dtype=bool)
+        removed, kept_by = [], []
+        for j in range(len(ids)):
+            if kept_mask.any():
+                s = sims[j] * kept_mask
+                i = int(np.argmax(s))
+                if s[i] >= threshold:
+                    removed.append(ids[j])
+                    kept_by.append(ids[i])
+                    continue
+            kept_mask[j] = True
+        if not removed:
+            return empty
+        return pd.DataFrame({
+            "removed_id": pd.Series(removed, dtype="int64"),
+            "kept_id": pd.Series(kept_by, dtype="int64"),
+            "cluster": pd.Series(np.full(len(removed),
+                                         int(g["cluster"].iloc[0])),
+                                 dtype="int64"),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        prune_cluster, batch_format="pandas"
+    )
+
+
 # ----------------------------------------------------------- LSH-bucketed
 
 

@@ -613,3 +613,75 @@ def test_benchmark_span_overlap_bloom_path():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         benchmark_span_overlap(ds, bench, span_tokens=32, method="nope")
+
+
+def test_kmeans_distributed_matches_numpy_lloyd(sf001_dir):
+    """The distributed Lloyd (per-batch partials + k-bounded groupby
+    reduce) must equal an exact single-machine Lloyd with the same
+    deterministic min-hash init, up to float summation order."""
+    import pyarrow.parquet as pq
+
+    from biosample_enricher_ray.stages.ann import (
+        _normalize,
+        _to_matrix,
+        kmeans_distributed,
+    )
+
+    k, iters, seed = 8, 5, 13
+    ds = ray.data.read_parquet(f"{sf001_dir}/embeddings.parquet")
+    got = kmeans_distributed(ds, n_clusters=k, iters=iters, seed=seed,
+                             concurrency=2)
+
+    t = pq.read_table(f"{sf001_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.uint64)
+    mult, mod = np.uint64(2654435761 + 2 * seed), np.uint64(4294967296)
+    h = (ids % mod) * mult % mod
+    order = np.lexsort((ids, h))[:k]
+    x = _normalize(_to_matrix(t["embedding"].combine_chunks()).astype(np.float64))
+    c = _normalize(x[order])
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        new = c.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                new[j] = x[m].mean(axis=0)
+        c = _normalize(new)
+    assert np.abs(got - c).max() < 1e-9
+
+
+def test_semdedup_greedy_keeps_lowest_id():
+    """Greedy ascending-id semantics: in a chain of three near-identical
+    vectors the lowest id is kept and BOTH others are removed against it
+    (not chained to each other)."""
+    from biosample_enricher_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float64)
+    vecs = [base, base + 1e-4, base + 2e-4] + [
+        rng.standard_normal(16) for _ in range(20)
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([np.asarray(v, np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = semdedup(ds, threshold=0.95, n_clusters=4, kmeans_iters=3,
+                   concurrency=2).to_pandas().sort_values("removed_id")
+    assert list(out["removed_id"]) == [1, 2]
+    assert list(out["kept_id"]) == [0, 0]
+
+
+def test_semdedup_planted_k_independent(sf001_dir):
+    """Byte-identical copies share a nearest centroid at ANY k, so the
+    planted gate's removed set is invariant to the cluster count."""
+    from biosample_enricher_ray.pipelines.queries import _planted_copy_path
+    from biosample_enricher_ray.stages.ann import semdedup
+
+    path = _planted_copy_path(sf001_dir, "embeddings", "vec_id")
+    for k in (3, 11):
+        out = semdedup(ray.data.read_parquet(path), threshold=0.95,
+                       n_clusters=k, kmeans_iters=2, concurrency=2).to_pandas()
+        assert sorted(out["removed_id"]) == [1000000 + i for i in range(50)]
+        assert sorted(out["kept_id"]) == list(range(50))
