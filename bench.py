@@ -369,6 +369,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_pairs_documents",
         "hll_distinct_documents",
         "shared_span_pairs_documents",
+        # moved to / added in EXTRA_QUERIES round 4; timed for continuity
+        "word_freq_documents",
+        "mixture_upsample_documents",
+        "global_shuffle_documents",
     ]
     out = {}
     for name, fn in QUERIES.items():

@@ -2525,11 +2525,10 @@ def semdedup_planted_embeddings(sf_dir: str) -> pd.DataFrame:
     from ..stages.ann import semdedup
 
     path = _planted_copy_path(sf_dir, "embeddings", "vec_id")
-    ds = ray.data.read_parquet(path)
-    n = ds.count()
+    n = pq.ParquetFile(path).metadata.num_rows  # metadata, not a count() pass
     removed = semdedup(
-        ds, threshold=0.95, n_clusters=max(8, n // 4000), kmeans_iters=4,
-        id_column="vec_id",
+        ray.data.read_parquet(path), threshold=0.95,
+        n_clusters=max(8, n // 4000), kmeans_iters=4, id_column="vec_id",
     ).to_pandas()
     return (removed[["removed_id", "kept_id"]].astype("int64")
             .sort_values("removed_id", ignore_index=True))
@@ -2590,6 +2589,34 @@ def mixture_upsample_documents(sf_dir: str) -> pd.DataFrame:
     for c in ("n_emitted", "sum_emitted_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source", ignore_index=True)
+
+
+def group_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-group uniform sample WITHOUT replacement, exactly k per group
+    (balanced eval-set construction): the k rows per language with the
+    globally smallest knuth_hash(doc_id) — a seedless uniform draw, chosen
+    via the same skew-proof map-side-capped shuffle as the per-source cap
+    (deterministic_group_cap: at most k rows per (lang, map task) ever move,
+    never the group). Identical rows on every cluster size/run."""
+    from ..stages.shuffle import deterministic_group_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def key(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT) \
+            % np.uint64(_SAMPLE_MOD)
+        return t.append_column("h", pa.array(h.astype(np.int64)))
+
+    sampled = deterministic_group_cap(
+        ds.map_batches(key, batch_format="pyarrow"),
+        "lang", k=10, rank_columns=["h", "doc_id"], ascending=[True, True],
+    ).to_pandas()
+    for c in ("doc_id", "h"):
+        sampled[c] = sampled[c].astype("int64")
+    return (sampled[["lang", "doc_id", "h"]]
+            .sort_values(["lang", "h", "doc_id"], ignore_index=True))
 
 
 def global_shuffle_documents(sf_dir: str) -> pd.DataFrame:
@@ -2694,6 +2721,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "word_freq_documents": word_freq_documents,
     "mixture_upsample_documents": mixture_upsample_documents,
     "global_shuffle_documents": global_shuffle_documents,
+    "group_sample_documents": group_sample_documents,
     "referential_broadcast_events_customers": referential_events_customers,
     "referential_shuffle_events_customers": referential_shuffle_events_customers,
     "md5_documents": md5_documents,
@@ -3439,6 +3467,15 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "SELECT source, CAST(SUM(copies) AS BIGINT) AS n_emitted, "
         "CAST(SUM(copies * doc_id) AS BIGINT) AS sum_emitted_id "
         "FROM c GROUP BY source ORDER BY source"
+    ),
+    # per-group uniform sample: same hash, QUALIFY row_number twin
+    "group_sample_documents": (
+        "SELECT lang, doc_id, h FROM "
+        f"(SELECT lang, doc_id, CAST((CAST(doc_id AS HUGEINT) % {_SAMPLE_MOD})"
+        f" * {_SAMPLE_MULT} % {_SAMPLE_MOD} AS BIGINT) AS h FROM documents "
+        "WHERE lang IS NOT NULL AND doc_id IS NOT NULL) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 10 "
+        "ORDER BY lang, h, doc_id"
     ),
     # global shuffle: the hash is a bijection mod 2^32, doc_id tiebreak is
     # belt-and-braces; pos is the permutation rank
