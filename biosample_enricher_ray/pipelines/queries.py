@@ -2591,6 +2591,114 @@ def mixture_upsample_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source", ignore_index=True)
 
 
+def quality_tier_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality-tier bucketing (the tiered-mixing step of data curation —
+    e.g. oversample the top quartile): pass 1 computes EXACT global quartile
+    cutoffs with the value-count-partials quantile machinery (one exchanged
+    row per distinct value); pass 2 broadcasts the 3 cutoffs and assigns
+    tier = searchsorted(cutoffs, x) per batch, combining in-batch so the
+    final groupby ships 4 rows per batch. Two streaming passes, no
+    materialization — the canonical shape for global-distribution-dependent
+    per-row transforms at 100 TB."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        c = t["n_chars"].combine_chunks().drop_null().value_counts()
+        return pa.table({"v": c.field("values"), "n": c.field("counts")})
+
+    counts = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy()
+    cuts = np.array(
+        [vals[np.searchsorted(cum, max(1, int(np.ceil(q * total))))]
+         for q in (0.25, 0.50, 0.75)], dtype=np.int64,
+    )  # quantile_disc semantics, same as quantiles_n_chars_documents
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tier = np.searchsorted(cuts, x, side="left")  # x <= cut -> that tier
+        g = (pd.DataFrame({"tier": tier, "doc_id": ids, "n_chars": x})
+             .groupby("tier")
+             .agg(n_docs=("doc_id", "size"), sum_doc_id=("doc_id", "sum"),
+                  min_n=("n_chars", "min"), max_n=("n_chars", "max"))
+             .reset_index())
+        return pa.table({
+            "tier": pa.array(g["tier"].to_numpy(dtype=np.int64)),
+            "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+            "sum_doc_id": pa.array(g["sum_doc_id"].to_numpy(dtype=np.int64)),
+            "min_n": pa.array(g["min_n"].to_numpy(dtype=np.int64)),
+            "max_n": pa.array(g["max_n"].to_numpy(dtype=np.int64)),
+        })
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("tier")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_doc_id", alias_name="sum_doc_id"),
+                   Min("min_n", alias_name="min_n"),
+                   Max("max_n", alias_name="max_n"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("tier", ignore_index=True)
+
+
+_PAGES_EPOCH_US = 1735689600000000  # 2025-01-01 in epoch microseconds
+
+
+def domain_stats_pages(sf_dir: str) -> pd.DataFrame:
+    """Per-domain crawl statistics over the derived pages view — the M11
+    component-parser operator (functions/hashing.py extract_domain /
+    extract_tld, reference host_detector analog) driven end-to-end: build
+    url + warc_ts per derive.py's formulas (html/text pruned at the read —
+    only the 2 needed columns leave storage), parse the host and TLD with
+    the Arrow RE2 kernels, aggregate per domain. Timestamps compare as
+    epoch-microsecond int64 so no timestamp-unit dtype enters the hash."""
+    from ..functions.hashing import extract_domain, extract_tld
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))  # source null -> 'unknown'
+        ids = t["doc_id"].combine_chunks()
+        src = pc.fill_null(t["source"].combine_chunks(), "unknown")
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(t)), src,
+            pa.array([".example.org/doc/"] * len(t)),
+            pc.cast(ids, pa.string()), "")
+        ts_us = (_PAGES_EPOCH_US
+                 + (ids.to_numpy(zero_copy_only=False) * 9_973_331)
+                 % 15_552_000_000_000)
+        domain = extract_domain(pc.cast(url, pa.string()))
+        return pa.table({
+            "domain": domain,
+            "tld": extract_tld(domain),
+            "ts_us": pa.array(ts_us.astype(np.int64)),
+        })
+
+    out = (
+        ds.map_batches(mk, batch_format="pyarrow")
+        .groupby(["domain", "tld"])
+        .aggregate(Count(alias_name="n_pages"),
+                   Min("ts_us", alias_name="min_ts_us"),
+                   Max("ts_us", alias_name="max_ts_us"))
+        .to_pandas()
+    )
+    for c in ("n_pages", "min_ts_us", "max_ts_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain", ignore_index=True)
+
+
 def group_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Per-group uniform sample WITHOUT replacement, exactly k per group
     (balanced eval-set construction): the k rows per language with the
@@ -2722,6 +2830,8 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "mixture_upsample_documents": mixture_upsample_documents,
     "global_shuffle_documents": global_shuffle_documents,
     "group_sample_documents": group_sample_documents,
+    "quality_tier_documents": quality_tier_documents,
+    "domain_stats_pages": domain_stats_pages,
     "referential_broadcast_events_customers": referential_events_customers,
     "referential_shuffle_events_customers": referential_shuffle_events_customers,
     "md5_documents": md5_documents,
@@ -3467,6 +3577,38 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "SELECT source, CAST(SUM(copies) AS BIGINT) AS n_emitted, "
         "CAST(SUM(copies * doc_id) AS BIGINT) AS sum_emitted_id "
         "FROM c GROUP BY source ORDER BY source"
+    ),
+    # quality tiers: quantile_disc cutoffs (same semantics as
+    # quantiles_n_chars_documents), CASE bucket twin of searchsorted
+    "quality_tier_documents": (
+        "WITH cuts AS (SELECT quantile_disc(n_chars, 0.25) AS p25, "
+        "quantile_disc(n_chars, 0.50) AS p50, "
+        "quantile_disc(n_chars, 0.75) AS p75 FROM documents), "
+        "t AS (SELECT doc_id, n_chars, CASE WHEN n_chars <= p25 THEN 0 "
+        "WHEN n_chars <= p50 THEN 1 WHEN n_chars <= p75 THEN 2 ELSE 3 END "
+        "AS tier FROM documents, cuts "
+        "WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL) "
+        "SELECT CAST(tier AS BIGINT) AS tier, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id, "
+        "MIN(n_chars) AS min_n, MAX(n_chars) AS max_n "
+        "FROM t GROUP BY tier ORDER BY tier"
+    ),
+    # per-domain crawl stats: url/warc_ts per the pages CTE formulas,
+    # host/TLD re-extracted by DuckDB's own RE2
+    "domain_stats_pages": (
+        "WITH p AS (SELECT 'https://' || COALESCE(source, 'unknown') || "
+        "'.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"{_PAGES_EPOCH_US} + (doc_id * 9973331) % 15552000000000 AS ts_us "
+        "FROM documents WHERE doc_id IS NOT NULL) "
+        "SELECT regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) "
+        "AS domain, "
+        "regexp_extract(regexp_extract(lower(url), "
+        "'^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '\\.([a-z0-9-]+)$', 1) AS tld, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+        "CAST(MIN(ts_us) AS BIGINT) AS min_ts_us, "
+        "CAST(MAX(ts_us) AS BIGINT) AS max_ts_us "
+        "FROM p GROUP BY domain, tld ORDER BY domain"
     ),
     # per-group uniform sample: same hash, QUALIFY row_number twin
     "group_sample_documents": (
