@@ -1451,10 +1451,36 @@ def hll_error_documents(sf_dir: str) -> pd.DataFrame:
     a distributed groupby-count (SQL COUNT(DISTINCT) twin), so the whole
     row is oracle-pinned — sketch drift goes driver-red."""
     ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
-    exact = {
-        c: int(ds.select_columns([c]).groupby(c).count().count())
-        for c in ("lang", "source", "text")
-    }
+    cols = ("lang", "source", "text")
+
+    # exact side in ONE scan + ONE (col, v) exchange (was 3 pipelines =
+    # 3 scans + 3 shuffles): per-batch distinct values per column, global
+    # dedup via groupby, then a k-bounded per-column count
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            u = pc.unique(t[c].combine_chunks().drop_null())
+            parts.append(pa.table({
+                "col": pa.array([c] * len(u), pa.string()),
+                "v": pc.cast(u, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c = t["col"].combine_chunks().value_counts()
+        return pa.table({"col": c.field("values"),
+                         "n": pc.cast(c.field("counts"), pa.int64())})
+
+    exact_df = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col", "v"])
+        .count()
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    exact = dict(zip(exact_df["col"], exact_df["n"].astype(int)))
     res = summarize_records(
         records_dataset(
             ds, [], ProfileSpec(columns=["lang", "source", "text"],
