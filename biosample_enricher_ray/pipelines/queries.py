@@ -2617,6 +2617,125 @@ def mixture_upsample_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source", ignore_index=True)
 
 
+def range_search_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Cosine RANGE search (all neighbors within a similarity radius — the
+    retrieval sibling of top-k): every (query, vector) pair at rounded
+    cosine ≥ 0.25 for 3 query vectors. Same broadcast-query-matrix shape as
+    brute_force_topk, but the emission is threshold-gated rather than
+    k-capped, so output size is data-dependent (matches only ever leave the
+    workers). Scores round to 3 dp on both sides before the filter so the
+    gate compares identical doubles."""
+    q_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    order = pc.sort_indices(q_tbl["vec_id"].combine_chunks())
+    q_tbl = q_tbl.take(order[:3])
+    from ..stages.ann import _normalize, _to_matrix
+
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q_ref = ray.put(_normalize(_to_matrix(q_tbl["embedding"]).astype(np.float64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        qn = ray.get(q_ref)
+        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = np.round(m @ qn.T, 3)  # (n, q)
+        i, j = np.nonzero(sims >= 0.25)
+        if not len(i):
+            return empty
+        return pa.table({
+            "query_id": pa.array(q_ids[j].astype(np.int64)),
+            "vec_id": pa.array(ids[i].astype(np.int64)),
+            "cosine": pa.array(sims[i, j]),
+        })
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "vec_id"], ignore_index=True)
+
+
+def zscore_outliers_documents(sf_dir: str) -> pd.DataFrame:
+    """Grouped z-score outlier detection as an INTEGER-EXACT two-pass
+    operator: pass 1 computes per-lang (n, Σx, Σx²) moments (in-batch
+    combine, k-bounded exchange); pass 2 broadcasts the tiny moment table
+    and flags |z| > 2 via the cross-multiplied integer inequality
+    (n·x − Σx)² > 4·(n·Σx² − Σx²) — no float ever enters either side, so
+    the boundary is oracle-identical (DuckDB runs the same HUGEINT
+    arithmetic). Exact while n·Σx² < 2⁶³ (asserted); beyond that a
+    production run switches to the float z-score and a tolerance gate."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "x": x,
+                           "xx": x * x})
+        g = df.groupby("lang").agg(n=("x", "size"), sx=("x", "sum"),
+                                   sxx=("xx", "sum")).reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "sx": pa.array(g["sx"].to_numpy(dtype=np.int64)),
+            "sxx": pa.array(g["sxx"].to_numpy(dtype=np.int64)),
+        })
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    mom = {r["lang"]: (int(r["n"]), int(r["sx"]), int(r["sxx"]))
+           for _, r in stats.iterrows()}
+    for n, sx, sxx in mom.values():
+        assert n * sxx < 2**62, "integer z-score bound exceeded; use float path"
+    mom_ref = ray.put(mom)
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if not t.num_rows:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_outliers": pa.array([], pa.int64())})
+        m = ray.get(mom_ref)
+        lang = t["lang"].to_pandas()
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = lang.map({k: v[0] for k, v in m.items()}).to_numpy(dtype=np.int64)
+        sx = lang.map({k: v[1] for k, v in m.items()}).to_numpy(dtype=np.int64)
+        rhs = lang.map({k: 4 * (v[0] * v[2] - v[1] * v[1])
+                        for k, v in m.items()}).to_numpy(dtype=np.int64)
+        d = n * x - sx
+        if (np.abs(d) > 3_037_000_499).any():  # d*d would pass int64
+            o = np.fromiter((int(v) * int(v) > int(r)
+                             for v, r in zip(d, rhs)), dtype=bool)
+        else:
+            o = d * d > rhs
+        out = (pd.DataFrame({"lang": lang, "o": o})
+               .groupby("lang")["o"].sum().reset_index())
+        return pa.table({
+            "lang": pa.array(out["lang"].to_numpy(dtype=object), pa.string()),
+            "n_outliers": pa.array(out["o"].to_numpy(dtype=np.int64)),
+        })
+
+    flags = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+        .to_pandas()
+    )
+    out = stats[["lang", "n"]].merge(flags, on="lang", how="left")
+    out["n"] = out["n"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].fillna(0).astype("int64")
+    return out.sort_values("lang", ignore_index=True)
+
+
 def quality_tier_documents(sf_dir: str) -> pd.DataFrame:
     """Quality-tier bucketing (the tiered-mixing step of data curation —
     e.g. oversample the top quartile): pass 1 computes EXACT global quartile
@@ -2858,6 +2977,8 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "group_sample_documents": group_sample_documents,
     "quality_tier_documents": quality_tier_documents,
     "domain_stats_pages": domain_stats_pages,
+    "range_search_embeddings": range_search_embeddings,
+    "zscore_outliers_documents": zscore_outliers_documents,
     "referential_broadcast_events_customers": referential_events_customers,
     "referential_shuffle_events_customers": referential_shuffle_events_customers,
     "md5_documents": md5_documents,
@@ -3603,6 +3724,33 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "SELECT source, CAST(SUM(copies) AS BIGINT) AS n_emitted, "
         "CAST(SUM(copies * doc_id) AS BIGINT) AS sum_emitted_id "
         "FROM c GROUP BY source ORDER BY source"
+    ),
+    # range search: both sides round to 3 dp BEFORE the threshold filter
+    "range_search_embeddings": (
+        "SELECT q.vec_id AS query_id, e.vec_id, "
+        "ROUND(CAST(list_cosine_similarity(q.embedding, e.embedding) "
+        "AS DOUBLE), 3) AS cosine "
+        "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id "
+        "LIMIT 3) q, embeddings e "
+        "WHERE ROUND(CAST(list_cosine_similarity(q.embedding, e.embedding) "
+        "AS DOUBLE), 3) >= 0.25 "
+        "ORDER BY query_id, e.vec_id"
+    ),
+    # grouped z-score outliers: |z|>2 cross-multiplied to HUGEINT integers —
+    # (n*x - sx)^2 > 4*(n*sxx - sx^2) — identical boundary on both sides
+    "zscore_outliers_documents": (
+        "WITH s AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(n_chars) AS HUGEINT) AS sx, "
+        "SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx "
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL "
+        "AND doc_id IS NOT NULL GROUP BY lang) "
+        "SELECT d.lang, CAST(MAX(s.n) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN (s.n * d.n_chars - s.sx) * "
+        "(s.n * d.n_chars - s.sx) > 4 * (s.n * s.sxx - s.sx * s.sx) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+        "FROM documents d JOIN s USING (lang) "
+        "WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL "
+        "GROUP BY d.lang ORDER BY d.lang"
     ),
     # quality tiers: quantile_disc cutoffs (same semantics as
     # quantiles_n_chars_documents), CASE bucket twin of searchsorted
