@@ -68,22 +68,25 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-_POW_CACHE: dict[str, np.ndarray] = {}
+_POW_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Grow-on-demand cached (B^i, B^-i) tables — input-independent, so each
-    worker process amortizes them across every batch it ever sees."""
-    pows = _POW_CACHE.get("pows")
-    if pows is None or pows.size < n:
+    worker process amortizes them across every batch it ever sees. Both
+    tables live under ONE key assigned atomically: concurrent tasks in a
+    threaded worker otherwise race between the two writes (observed
+    KeyError: 'inv' when a reader slipped in after "pows" landed)."""
+    cached = _POW_CACHE.get("tables")
+    if cached is None or cached[0].size < n:
         size = max(n, 1 << 20)
         # log-doubling build (p[k:2k] = p[:k] * B^k): ~20 vectorized
         # multiplies instead of an element-wise ufunc accumulate, which
         # numpy runs as a ~1 s scalar loop at 2^20 — this was the dominant
         # first-batch cost of every hashing actor (measured 950 ms → 3 ms)
-        _POW_CACHE["pows"] = _pow_series(_POLY_B, size)
-        _POW_CACHE["inv"] = _pow_series(_POLY_B_INV, size)
-    return _POW_CACHE["pows"], _POW_CACHE["inv"]
+        cached = (_pow_series(_POLY_B, size), _pow_series(_POLY_B_INV, size))
+        _POW_CACHE["tables"] = cached
+    return cached
 
 
 def _pow_series(base: np.uint64, size: int) -> np.ndarray:

@@ -148,22 +148,24 @@ def detect_language(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 _FP_B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
 _FP_B_INV = np.uint64(pow(int(_FP_B), -1, 1 << 64))
-_FP_POW_CACHE: dict[str, np.ndarray] = {}
+_FP_POW_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _fp_pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Grow-on-demand (B^i, B^-i) tables for the fingerprint base (the
-    dedup._pow_tables idiom; input-independent, amortized per worker)."""
-    pows = _FP_POW_CACHE.get("pows")
-    if pows is None or pows.size < n:
+    dedup._pow_tables idiom; input-independent, amortized per worker).
+    Single-key atomic assignment — see hashing._pow_tables for the
+    two-write race this avoids under threaded task execution."""
+    cached = _FP_POW_CACHE.get("tables")
+    if cached is None or cached[0].size < n:
         from .hashing import _pow_series
 
         # log-doubling build — the accumulate version was a ~1 s scalar
         # loop at 2^20, paid by every fingerprint actor's first batch
         size = max(n, 1 << 20)
-        _FP_POW_CACHE["pows"] = _pow_series(_FP_B, size)
-        _FP_POW_CACHE["inv"] = _pow_series(_FP_B_INV, size)
-    return _FP_POW_CACHE["pows"], _FP_POW_CACHE["inv"]
+        cached = (_pow_series(_FP_B, size), _pow_series(_FP_B_INV, size))
+        _FP_POW_CACHE["tables"] = cached
+    return cached
 
 
 def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray, window: int = 8) -> pa.Array:
