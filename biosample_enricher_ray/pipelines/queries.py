@@ -1497,6 +1497,44 @@ def hll_error_documents(sf_dir: str) -> pd.DataFrame:
         {"col": "object", "n_exact": "int64", "hll_ok": "bool"})
 
 
+def tdigest_error_documents(sf_dir: str) -> pd.DataFrame:
+    """TDigest accuracy gate (the quantile sibling of hll_error_documents):
+    the merged sketch's p25/p50/p75 estimates must sit within max(±2, 5%
+    relative) of the EXACT distributed quantiles (value-count partials,
+    quantile_disc semantics — the SQL-pinned side). Sketch drift goes
+    driver-red; the exact column makes the whole row oracle-checkable."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        c = t["n_chars"].combine_chunks().drop_null().value_counts()
+        return pa.table({"v": c.field("values"), "n": c.field("counts")})
+
+    counts = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("v")
+    )
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy()
+
+    res = summarize_records(
+        records_dataset(ds, [], ProfileSpec(columns=["n_chars"]),
+                        path_column=None)
+    )
+    est = res.profiles["n_chars"]["quantiles"]
+
+    rows = []
+    for q in (0.25, 0.50, 0.75):
+        exact = int(vals[np.searchsorted(
+            cum, max(1, int(np.ceil(q * total))))])
+        err = abs(est[q] - exact)
+        rows.append((int(q * 100), exact,
+                     bool(err <= 2 or err / max(exact, 1) <= 0.05)))
+    return pd.DataFrame(rows, columns=["q_pct", "n_exact", "td_ok"]).astype(
+        {"q_pct": "int64", "n_exact": "int64", "td_ok": "bool"})
+
+
 def ngram_jaccard_pairs_documents(sf_dir: str) -> pd.DataFrame:
     """Exact word n-gram Jaccard over 20 deterministic document pairs (the
     LSH verification kernel as a standalone, fully SQL-checkable operator):
@@ -2979,6 +3017,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_stats_pages": domain_stats_pages,
     "range_search_embeddings": range_search_embeddings,
     "zscore_outliers_documents": zscore_outliers_documents,
+    "tdigest_error_documents": tdigest_error_documents,
     "referential_broadcast_events_customers": referential_events_customers,
     "referential_shuffle_events_customers": referential_shuffle_events_customers,
     "md5_documents": md5_documents,
@@ -3724,6 +3763,17 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "SELECT source, CAST(SUM(copies) AS BIGINT) AS n_emitted, "
         "CAST(SUM(copies * doc_id) AS BIGINT) AS sum_emitted_id "
         "FROM c GROUP BY source ORDER BY source"
+    ),
+    # TDigest gate: exact quantiles in SQL, td_ok pinned TRUE — sketch
+    # drift breaks the boolean, exact-side drift breaks n_exact
+    "tdigest_error_documents": (
+        "SELECT CAST(q_pct AS BIGINT) AS q_pct, "
+        "CAST(n_exact AS BIGINT) AS n_exact, TRUE AS td_ok FROM ("
+        "SELECT 25 AS q_pct, quantile_disc(n_chars, 0.25) AS n_exact "
+        "FROM documents UNION ALL "
+        "SELECT 50, quantile_disc(n_chars, 0.50) FROM documents UNION ALL "
+        "SELECT 75, quantile_disc(n_chars, 0.75) FROM documents"
+        ") ORDER BY q_pct"
     ),
     # range search: both sides round to 3 dp BEFORE the threshold filter
     "range_search_embeddings": (
