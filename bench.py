@@ -373,6 +373,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "word_freq_documents",
         "mixture_upsample_documents",
         "global_shuffle_documents",
+        # window/rollup/set-op/corr family (added round 4, EXTRA_QUERIES)
+        "ntile_deciles_documents",
+        "lag_delta_events",
+        "rollup_lang_source_documents",
+        "corr_value_hour_events",
+        "set_ops_click_view_users",
+        "mode_lang_by_source_documents",
     ]
     out = {}
     for name, fn in QUERIES.items():

@@ -2938,6 +2938,287 @@ def global_shuffle_documents(sf_dir: str) -> pd.DataFrame:
     return head[["pos", "doc_id", "h"]]
 
 
+def ntile_deciles_documents(sf_dir: str) -> pd.DataFrame:
+    """Global window functions — ROW_NUMBER + NTILE(10) over the corpus
+    ordered by (n_chars, doc_id) — via distributed sort + block-offset
+    prefix sum (stages/window.py; same two-phase scan as sequence packing).
+    The compared frame aggregates per decile (row-number range, n_chars
+    range, exact doc_id sum), which pins every row's global rank AND tile
+    assignment without shipping 10^12 ranked rows to the driver."""
+    from ..stages.window import global_row_numbers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["n_chars"]))
+
+    # size the sort's range partitioning from metadata (O(1) footer read):
+    # ~250k two-int64-column rows per block; tiny inputs collapse to 4 tasks
+    rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ranked = global_row_numbers(
+        ds.map_batches(drop_null, batch_format="pyarrow"),
+        ["n_chars", "doc_id"], n_tiles=10,
+        target_blocks=int(np.clip(rows // 250_000, 4, 4096)),
+    )
+
+    tile_schema = pa.schema([
+        ("tile", pa.int64()), ("n_rows", pa.int64()), ("min_rn", pa.int64()),
+        ("max_rn", pa.int64()), ("min_n_chars", pa.int64()),
+        ("max_n_chars", pa.int64()), ("sum_doc_id", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # empty sorted blocks must keep the fixed schema (round-3 lesson:
+        # a schema-less empty block crashes downstream key access)
+        if t.num_rows == 0 or "tile" not in t.schema.names:
+            return tile_schema.empty_table()
+        df = pd.DataFrame({
+            "tile": t["tile"].to_numpy(zero_copy_only=False),
+            "rn": t["row_number"].to_numpy(zero_copy_only=False),
+            "nc": t["n_chars"].to_numpy(zero_copy_only=False),
+            "id": t["doc_id"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("tile").agg(
+            n_rows=("rn", "size"), min_rn=("rn", "min"), max_rn=("rn", "max"),
+            min_n_chars=("nc", "min"), max_n_chars=("nc", "max"),
+            sum_doc_id=("id", "sum"),
+        ).reset_index()
+        return pa.table(
+            {f.name: pa.array(g[f.name].to_numpy(dtype=np.int64), f.type)
+             for f in tile_schema})
+
+    out = (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Min("min_rn", alias_name="min_rn"),
+                   Max("max_rn", alias_name="max_rn"),
+                   Min("min_n_chars", alias_name="min_n_chars"),
+                   Max("max_n_chars", alias_name="max_n_chars"),
+                   Sum("sum_doc_id", alias_name="sum_doc_id"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("tile").reset_index(drop=True)
+
+
+def lag_delta_events(sf_dir: str) -> pd.DataFrame:
+    """Per-key LAG window function (the grouped sibling of the global
+    window op): per user ordered by (ts, event_id), value deltas vs the
+    previous event and exact int64 inter-event gaps in microseconds.
+    Executes as one groupby(user_id) shuffle + vectorized in-group diff —
+    the same single-exchange shape as sessionize/asof; one user's history
+    must fit a reducer (documented partitioning assumption). min/max of
+    identical per-pair doubles are float-exact; the only summed quantity
+    (gap) is integer microseconds, so the result is order-independent."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["value"]))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        dv = g["value"].diff().iloc[1:]
+        gap = g["ts"].astype("int64").diff().iloc[1:]
+        if len(dv) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_deltas": pd.Series([], dtype="int64"),
+                "min_delta": pd.Series([], dtype="float64"),
+                "max_delta": pd.Series([], dtype="float64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_deltas": [len(dv)],
+            "min_delta": [round(float(dv.min()), 6)],
+            "max_delta": [round(float(dv.max()), 6)],
+            "sum_gap_us": [int(gap.sum())],
+        })
+
+    out = (
+        ds.map_batches(drop_null, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(deltas, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "n_deltas", "sum_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def rollup_lang_source_documents(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP aggregation in ONE corpus pass: each batch emits
+    partials for all three grouping levels — (lang, source), (lang), () —
+    with '(all)' sentinels, so a single small groupby-sum produces the
+    entire rollup lattice; the corpus is never re-scanned per level (the
+    naive SQL plan runs one aggregation per level). Key cardinality is
+    |lang|×|source| + |lang| + 1, so the exchange is tiny at any scale."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna("(null)"),
+            "source": t["source"].to_pandas().fillna("(null)"),
+            "nc": t["n_chars"].to_pandas(),
+        })
+        l2 = df.groupby(["lang", "source"], sort=False).agg(
+            n_rows=("nc", "size"), sum_n_chars=("nc", "sum")).reset_index()
+        l1 = df.groupby("lang", sort=False).agg(
+            n_rows=("nc", "size"), sum_n_chars=("nc", "sum")).reset_index()
+        l1["source"] = "(all)"
+        l0 = pd.DataFrame({
+            "lang": ["(all)"], "source": ["(all)"],
+            "n_rows": [len(df)], "sum_n_chars": [df["nc"].sum()],
+        })
+        allp = pd.concat([l2, l1, l0], ignore_index=True)
+        return pa.table({
+            "lang": pa.array(allp["lang"], pa.string()),
+            "source": pa.array(allp["source"], pa.string()),
+            "n_rows": pa.array(allp["n_rows"].to_numpy(dtype=np.int64)),
+            "sum_n_chars": pa.array(
+                allp["sum_n_chars"].to_numpy(dtype=np.int64)),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("sum_n_chars", alias_name="sum_n_chars"))
+        .to_pandas()
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_n_chars"] = out["sum_n_chars"].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def corr_value_hour_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation + sample covariance via moment
+    accumulation: each batch contributes six scalars (n, Σx, Σy, Σxx, Σyy,
+    Σxy), the driver combines O(batches) scalars — the standard one-pass
+    parallel corr, no shuffle at all. x = event value, y = hour-of-day."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["value"])
+        x = t["value"].filter(keep).to_numpy(zero_copy_only=False)
+        y = pc.hour(t["ts"].filter(keep)).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+        })
+
+    agg = ds.map_batches(moments, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = float(agg["sum(n)"])
+    sx, sy = agg["sum(sx)"], agg["sum(sy)"]
+    sxx, syy, sxy = agg["sum(sxx)"], agg["sum(syy)"], agg["sum(sxy)"]
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return pd.DataFrame({
+        "n": [int(n)],
+        "corr_value_hour": [round(float(corr), 6)],
+        "covar_value_hour": [round(float(covar), 6)],
+    })
+
+
+def set_ops_click_view_users(sf_dir: str) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT on user sets (set ops §2.8 beyond
+    union): users who click vs users who view, as presence-flag partials →
+    one groupby-max over user_id → flag-combination counts. Only (key,
+    2 bits) rows ever shuffle — the classic way to do set ops at 10^12
+    rows without materializing either distinct side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_pandas(),
+            "a": pc.equal(t["event_type"], "click").to_pandas().fillna(False),
+            "b": pc.equal(t["event_type"], "view").to_pandas().fillna(False),
+        })
+        g = df.groupby("user_id", sort=False).agg(
+            in_click=("a", "max"), in_view=("b", "max")).reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64)),
+            "in_click": pa.array(g["in_click"].to_numpy(dtype=np.int64)),
+            "in_view": pa.array(g["in_view"].to_numpy(dtype=np.int64)),
+        })
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("in_click", alias_name="in_click"),
+                   Max("in_view", alias_name="in_view"))
+    )
+
+    def combo(t: pa.Table) -> pa.Table:
+        a = t["in_click"].to_numpy(zero_copy_only=False).astype(bool)
+        b = t["in_view"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "n_intersect": pa.array([int((a & b).sum())], pa.int64()),
+            "n_click_only": pa.array([int((a & ~b).sum())], pa.int64()),
+            "n_view_only": pa.array([int((~a & b).sum())], pa.int64()),
+        })
+
+    agg = per_user.map_batches(combo, batch_format="pyarrow").sum(
+        ["n_intersect", "n_click_only", "n_view_only"])
+    return pd.DataFrame({
+        "n_intersect": [int(agg["sum(n_intersect)"])],
+        "n_click_only": [int(agg["sum(n_click_only)"])],
+        "n_view_only": [int(agg["sum(n_view_only)"])],
+    })
+
+
+def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE (most frequent value per group, deterministic lang-asc
+    tiebreak): in-batch (source, lang) count partials → key-only
+    groupby-sum → per-source argmax over its |lang|-bounded count rows.
+    Two exchanges but both over count rows, never the corpus."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna("(null)"),
+            "source": t["source"].to_pandas().fillna("(null)"),
+        })
+        g = df.groupby(["source", "lang"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(dtype=object),
+                               pa.string()),
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "lang"], ascending=[False, True])
+        top = g.iloc[:1]
+        return pd.DataFrame({
+            "source": top["source"].to_numpy(),
+            "mode_lang": top["lang"].to_numpy(),
+            "n_docs": top["n"].to_numpy(dtype=np.int64),
+        })
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("source")
+        .map_groups(argmax, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 # Driver-facing registry: EXACTLY 50 entries, every one oracle-backed, so
 # the driver's 50-query correctness window grades the complete surface
 # (round-3 VERDICT: 20 gates fell outside the window on registry ordering;
@@ -3009,6 +3290,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 # sibling sits in QUERIES. All remain pytest-gated (tests/test_queries_oracle
 # iterates QUERIES | EXTRA_QUERIES) and benchmarkable.
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
+    "ntile_deciles_documents": ntile_deciles_documents,
+    "lag_delta_events": lag_delta_events,
+    "rollup_lang_source_documents": rollup_lang_source_documents,
+    "corr_value_hour_events": corr_value_hour_events,
+    "set_ops_click_view_users": set_ops_click_view_users,
+    "mode_lang_by_source_documents": mode_lang_by_source_documents,
     "word_freq_documents": word_freq_documents,
     "mixture_upsample_documents": mixture_upsample_documents,
     "global_shuffle_documents": global_shuffle_documents,
@@ -3046,6 +3333,64 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "ntile_deciles_documents": (
+        "WITH r AS (SELECT doc_id, n_chars, "
+        "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn, "
+        "NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile "
+        "FROM documents WHERE n_chars IS NOT NULL) "
+        "SELECT tile, COUNT(*) AS n_rows, MIN(rn) AS min_rn, "
+        "MAX(rn) AS max_rn, MIN(n_chars) AS min_n_chars, "
+        "MAX(n_chars) AS max_n_chars, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id "
+        "FROM r GROUP BY tile ORDER BY tile"
+    ),
+    "lag_delta_events": (
+        "WITH d AS (SELECT user_id, "
+        "value - LAG(value) OVER w AS dv, "
+        "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us "
+        "FROM events WHERE value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, COUNT(dv) AS n_deltas, "
+        "ROUND(MIN(dv), 6) AS min_delta, ROUND(MAX(dv), 6) AS max_delta, "
+        "CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us "
+        "FROM d WHERE dv IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    "rollup_lang_source_documents": (
+        "SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' "
+        "ELSE COALESCE(lang, '(null)') END AS lang, "
+        "CASE WHEN GROUPING(source) = 1 THEN '(all)' "
+        "ELSE COALESCE(source, '(null)') END AS source, "
+        "COUNT(*) AS n_rows, "
+        "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY 1, 2"
+    ),
+    "corr_value_hour_events": (
+        "SELECT COUNT(*) AS n, "
+        "ROUND(CORR(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6) "
+        "AS corr_value_hour, "
+        "ROUND(COVAR_SAMP(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6) "
+        "AS covar_value_hour FROM events WHERE value IS NOT NULL"
+    ),
+    "set_ops_click_view_users": (
+        "WITH a AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'click'), "
+        "b AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'view') "
+        "SELECT (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT "
+        "SELECT * FROM b)) AS n_intersect, "
+        "(SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT "
+        "SELECT * FROM b)) AS n_click_only, "
+        "(SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT "
+        "SELECT * FROM a)) AS n_view_only"
+    ),
+    "mode_lang_by_source_documents": (
+        "WITH c AS (SELECT COALESCE(source, '(null)') AS source, "
+        "COALESCE(lang, '(null)') AS lang, COUNT(*) AS n "
+        "FROM documents GROUP BY 1, 2) "
+        "SELECT source, lang AS mode_lang, n AS n_docs FROM c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY n DESC, lang) = 1 ORDER BY source"
+    ),
     "null_rate_documents": " UNION ALL ".join(
         f"SELECT '{c}' AS \"column\", COUNT(*) - COUNT({c}) AS n_nulls, "
         f"COUNT(*) AS n_rows FROM documents"
