@@ -3219,12 +3219,65 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def window_ops_gates(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing merged gate for the window/rollup/set-op family (the
+    dedup_planted_gates consolidation pattern: seven oracle-backed operators
+    in one registry slot). Every sub-result is melted to a long (k, v:int64)
+    frame — strings into the key, floats scaled to exact 1e-6 units after
+    the same ROUND(,6) both sides — so one dtype-sensitive value hash pins
+    all seven operators: ntile_deciles, lag_delta, rollup, corr, set-ops,
+    grouped mode, prioritized coalesce. Standalone twins stay in
+    EXTRA_QUERIES for per-operator pytest gating and benching."""
+    parts: list[pd.DataFrame] = []
+
+    def kv(op: str, keys, vals) -> None:
+        parts.append(pd.DataFrame({
+            "k": [f"{op}:{k}" for k in keys],
+            "v": np.asarray(vals, dtype=np.int64),
+        }))
+
+    nt = ntile_deciles_documents(sf_dir)
+    for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
+                "max_n_chars", "sum_doc_id"):
+        kv("ntile", [f"t{t}:{col}" for t in nt["tile"]], nt[col])
+    lg = lag_delta_events(sf_dir)
+    for col in ("n_deltas", "sum_gap_us"):
+        kv("lag", [f"u{u}:{col}" for u in lg["user_id"]], lg[col])
+    for col in ("min_delta", "max_delta"):
+        # deltas are ROUND(,6)-identical doubles on both sides, so *1e6
+        # lands within ~1e-7 of an integer — the final round is exact
+        kv("lag", [f"u{u}:{col}" for u in lg["user_id"]],
+           np.round(lg[col].to_numpy() * 1e6).astype(np.int64))
+    rl = rollup_lang_source_documents(sf_dir)
+    pairs = list(zip(rl["lang"], rl["source"]))
+    kv("rollup", [f"{l}|{s}:n" for l, s in pairs], rl["n_rows"])
+    kv("rollup", [f"{l}|{s}:s" for l, s in pairs], rl["sum_n_chars"])
+    co = corr_value_hour_events(sf_dir)
+    kv("corr", ["n"], co["n"])
+    kv("corr", ["corr_e6"],
+       np.round(co["corr_value_hour"].to_numpy() * 1e6).astype(np.int64))
+    kv("corr", ["covar_e6"],
+       np.round(co["covar_value_hour"].to_numpy() * 1e6).astype(np.int64))
+    so = set_ops_click_view_users(sf_dir)
+    kv("setops", ["n_intersect", "n_click_only", "n_view_only"],
+       [int(so["n_intersect"][0]), int(so["n_click_only"][0]),
+        int(so["n_view_only"][0])])
+    md = mode_lang_by_source_documents(sf_dir)
+    kv("mode", [f"{s}:{l}" for s, l in zip(md["source"], md["mode_lang"])],
+       md["n_docs"])
+    cp = coalesce_profile_documents(sf_dir)
+    kv("coalesce", list(cp["picked"]), cp["n"])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("k").reset_index(drop=True)
+
+
 # Driver-facing registry: EXACTLY 50 entries, every one oracle-backed, so
 # the driver's 50-query correctness window grades the complete surface
 # (round-3 VERDICT: 20 gates fell outside the window on registry ordering;
 # 62 oracle entries cannot fit 50 slots, so families were consolidated —
 # dedup_planted_gates merges 7 recall gates, referential_events_customers
-# runs broadcast+shuffle, scalar_kernels merges md5+token_count — and
+# runs broadcast+shuffle, scalar_kernels merges md5+token_count,
+# window_ops_gates merges the window/rollup/set-op family + coalesce — and
 # subsumed twins moved to EXTRA_QUERIES below, all still pytest-gated).
 QUERIES: dict[str, Callable[[str], Any]] = {
     # flagship + validation core
@@ -3241,7 +3294,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hist_n_chars_documents": hist_n_chars_documents,
     "quantiles_by_lang_documents": quantiles_by_lang_documents,
     "props_key_profile_events": props_key_profile_events,
-    "coalesce_profile_documents": coalesce_profile_documents,
+    "window_ops_gates": window_ops_gates,
     # dedup + training-data curation
     "exact_dedup_documents": exact_dedup_documents,
     "dedup_planted_gates": dedup_planted_gates,
@@ -3290,6 +3343,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 # sibling sits in QUERIES. All remain pytest-gated (tests/test_queries_oracle
 # iterates QUERIES | EXTRA_QUERIES) and benchmarkable.
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
+    "coalesce_profile_documents": coalesce_profile_documents,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -4208,6 +4262,55 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
 }
+
+# Merged window/rollup/set-op gate: UNION ALL of the seven component oracles
+# melted to the same long (k, v:BIGINT) format as window_ops_gates().
+_ALL_ORACLE_SQL["window_ops_gates"] = (
+    "WITH q_ntile AS (" + _ALL_ORACLE_SQL["ntile_deciles_documents"] + "), "
+    "q_lag AS (" + _ALL_ORACLE_SQL["lag_delta_events"] + "), "
+    "q_rollup AS (" + _ALL_ORACLE_SQL["rollup_lang_source_documents"] + "), "
+    "q_corr AS (" + _ALL_ORACLE_SQL["corr_value_hour_events"] + "), "
+    "q_set AS (" + _ALL_ORACLE_SQL["set_ops_click_view_users"] + "), "
+    "q_mode AS (" + _ALL_ORACLE_SQL["mode_lang_by_source_documents"] + "), "
+    "q_co AS (" + _ALL_ORACLE_SQL["coalesce_profile_documents"] + ") "
+    "SELECT k, CAST(v AS BIGINT) AS v FROM ("
+    + " UNION ALL ".join(
+        [
+            "SELECT 'ntile:t' || CAST(tile AS VARCHAR) || ':" + c
+            + "' AS k, " + c + " AS v FROM q_ntile"
+            for c in ("n_rows", "min_rn", "max_rn", "min_n_chars",
+                      "max_n_chars", "sum_doc_id")
+        ]
+        + [
+            "SELECT 'lag:u' || CAST(user_id AS VARCHAR) || ':" + c
+            + "', " + c + " FROM q_lag"
+            for c in ("n_deltas", "sum_gap_us")
+        ]
+        + [
+            "SELECT 'lag:u' || CAST(user_id AS VARCHAR) || ':" + c
+            + "', ROUND(" + c + " * 1000000) FROM q_lag"
+            for c in ("min_delta", "max_delta")
+        ]
+        + [
+            "SELECT 'rollup:' || lang || '|' || source || ':n', n_rows "
+            "FROM q_rollup",
+            "SELECT 'rollup:' || lang || '|' || source || ':s', sum_n_chars "
+            "FROM q_rollup",
+            "SELECT 'corr:n', n FROM q_corr",
+            "SELECT 'corr:corr_e6', ROUND(corr_value_hour * 1000000) "
+            "FROM q_corr",
+            "SELECT 'corr:covar_e6', ROUND(covar_value_hour * 1000000) "
+            "FROM q_corr",
+            "SELECT 'setops:n_intersect', n_intersect FROM q_set",
+            "SELECT 'setops:n_click_only', n_click_only FROM q_set",
+            "SELECT 'setops:n_view_only', n_view_only FROM q_set",
+            "SELECT 'mode:' || source || ':' || mode_lang, n_docs "
+            "FROM q_mode",
+            "SELECT 'coalesce:' || picked, n FROM q_co",
+        ]
+    )
+    + ") ORDER BY k"
+)
 
 # Driver-facing oracle map mirrors QUERIES exactly (every registered query is
 # oracle-backed); the remainder gates EXTRA_QUERIES in pytest.
