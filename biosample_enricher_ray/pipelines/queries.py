@@ -51,6 +51,50 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _install_fsspec_http_stub() -> None:
+    """Make ``fsspec.implementations.http`` importable from threads.
+
+    Ray's parquet path resolution runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` inside a ``except ModuleNotFoundError`` on EVERY
+    ``read_parquet``. In an environment without aiohttp that import always
+    fails, so it is retried every call — and two driver threads racing the
+    always-failing import can observe the sibling's partially-initialized
+    module, raising plain ImportError ("cannot import name
+    'HTTPFileSystem'"), which Ray does NOT catch. Registering a terminal
+    stub module once makes the import succeed deterministically; the stub's
+    never-instantiated class keeps Ray's isinstance check False, identical
+    to the caught-exception path."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import types
+
+        import fsspec.implementations as fsimpl
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # pragma: no cover - sentinel, never built
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+        fsimpl.http = stub
+
+
+def _run_concurrent(fns: list[Callable[[], Any]]) -> list[Any]:
+    """Run component pipelines from concurrent driver threads — each Ray
+    Data execution owns its streaming executor, so a merged gate costs
+    ~max(component) wall time instead of sum(component) while the cluster
+    stays fully subscribed. Results return in submission order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _install_fsspec_http_stub()
+    with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+        return [f.result() for f in [ex.submit(fn) for fn in fns]]
+
+
 # --------------------------------------------------------------------------
 # Validation-engine queries (checks recast over the shared testdata)
 # --------------------------------------------------------------------------
@@ -1251,6 +1295,8 @@ def _planted_copy_path(sf_dir: str, table: str, id_column: str,
     slug = sf_dir.strip("/").replace("/", "_")
     out = f"/tmp/graft_planted/{slug}_{table}_{n}.parquet"
     if not os.path.exists(out):
+        import threading
+
         os.makedirs("/tmp/graft_planted", exist_ok=True)
         t = pq.read_table(f"{sf_dir}/{table}.parquet")
         order = pc.sort_indices(t[id_column].combine_chunks())
@@ -1258,7 +1304,9 @@ def _planted_copy_path(sf_dir: str, table: str, id_column: str,
         i = dup.schema.get_field_index(id_column)
         dup = dup.set_column(i, id_column,
                              pc.add(dup[id_column], _PLANTED_OFFSET))
-        tmp = f"{out}.tmp.{os.getpid()}"
+        # pid AND thread id: merged gates run components from concurrent
+        # driver threads, and a pid-only tmp name would collide
+        tmp = f"{out}.tmp.{os.getpid()}.{threading.get_ident()}"
         pq.write_table(pa.concat_tables([t, dup]), tmp)
         os.replace(tmp, out)
     return out
@@ -1594,15 +1642,28 @@ def dedup_planted_gates(sf_dir: str) -> pd.DataFrame:
             "ok": df[ok_col].to_numpy(dtype=bool),
         }))
 
-    add("cluster", cluster_planted_documents(sf_dir), "dup_id", "same_cluster")
-    dec = decontaminate_planted_documents(sf_dir)
+    # pre-warm the shared planted tables once, then fan the seven component
+    # pipelines across driver threads (sum -> max wall time)
+    _planted_dup_path(sf_dir)
+    _planted_copy_path(sf_dir, "embeddings", "vec_id")
+    (cluster_df, dec, emb_pairs, fp_df, mh_df, sh_df, span_df) = \
+        _run_concurrent([
+            lambda: cluster_planted_documents(sf_dir),
+            lambda: decontaminate_planted_documents(sf_dir),
+            lambda: embedding_near_dup_planted_embeddings(sf_dir),
+            lambda: fingerprint_planted_documents(sf_dir),
+            lambda: minhash_recall_planted_documents(sf_dir),
+            lambda: simhash_recall_planted_documents(sf_dir),
+            lambda: span_recall_planted_documents(sf_dir),
+        ])
+
+    add("cluster", cluster_df, "dup_id", "same_cluster")
     frames.append(pd.DataFrame({
         "gate": "decontaminate",
         "doc_id": dec["doc_id"].astype("int64"),
         "pair_id": dec["doc_id"].astype("int64"),
         "ok": dec["contaminated"].to_numpy(dtype=bool),
     }))
-    emb_pairs = embedding_near_dup_planted_embeddings(sf_dir)
     vec_ids = np.sort(pq.read_table(f"{sf_dir}/embeddings.parquet",
                                     columns=["vec_id"])["vec_id"].to_numpy())[:50]
     found = set(zip(emb_pairs["id_a"], emb_pairs["id_b"]))
@@ -1623,10 +1684,10 @@ def dedup_planted_gates(sf_dir: str) -> pd.DataFrame:
             "ok": np.zeros(len(extras), dtype=bool),
         })], ignore_index=True)
     frames.append(emb_rows)
-    add("fingerprint", fingerprint_planted_documents(sf_dir), "dup_id", "fp_equal")
-    add("minhash", minhash_recall_planted_documents(sf_dir), "dup_id", "found")
-    add("simhash", simhash_recall_planted_documents(sf_dir), "dup_id", "found")
-    add("span", span_recall_planted_documents(sf_dir), "span_id", "found")
+    add("fingerprint", fp_df, "dup_id", "fp_equal")
+    add("minhash", mh_df, "dup_id", "found")
+    add("simhash", sh_df, "dup_id", "found")
+    add("span", span_df, "span_id", "found")
     out = pd.concat(frames, ignore_index=True)
     return (out.sort_values(["gate", "doc_id", "pair_id"])
             .reset_index(drop=True)[["gate", "doc_id", "pair_id", "ok"]])
@@ -3236,11 +3297,18 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
             "v": np.asarray(vals, dtype=np.int64),
         }))
 
-    nt = ntile_deciles_documents(sf_dir)
+    (nt, lg, rl, co, so, md, cp) = _run_concurrent([
+        lambda: ntile_deciles_documents(sf_dir),
+        lambda: lag_delta_events(sf_dir),
+        lambda: rollup_lang_source_documents(sf_dir),
+        lambda: corr_value_hour_events(sf_dir),
+        lambda: set_ops_click_view_users(sf_dir),
+        lambda: mode_lang_by_source_documents(sf_dir),
+        lambda: coalesce_profile_documents(sf_dir),
+    ])
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
                 "max_n_chars", "sum_doc_id"):
         kv("ntile", [f"t{t}:{col}" for t in nt["tile"]], nt[col])
-    lg = lag_delta_events(sf_dir)
     for col in ("n_deltas", "sum_gap_us"):
         kv("lag", [f"u{u}:{col}" for u in lg["user_id"]], lg[col])
     for col in ("min_delta", "max_delta"):
@@ -3248,24 +3316,19 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         # lands within ~1e-7 of an integer — the final round is exact
         kv("lag", [f"u{u}:{col}" for u in lg["user_id"]],
            np.round(lg[col].to_numpy() * 1e6).astype(np.int64))
-    rl = rollup_lang_source_documents(sf_dir)
     pairs = list(zip(rl["lang"], rl["source"]))
     kv("rollup", [f"{l}|{s}:n" for l, s in pairs], rl["n_rows"])
     kv("rollup", [f"{l}|{s}:s" for l, s in pairs], rl["sum_n_chars"])
-    co = corr_value_hour_events(sf_dir)
     kv("corr", ["n"], co["n"])
     kv("corr", ["corr_e6"],
        np.round(co["corr_value_hour"].to_numpy() * 1e6).astype(np.int64))
     kv("corr", ["covar_e6"],
        np.round(co["covar_value_hour"].to_numpy() * 1e6).astype(np.int64))
-    so = set_ops_click_view_users(sf_dir)
     kv("setops", ["n_intersect", "n_click_only", "n_view_only"],
        [int(so["n_intersect"][0]), int(so["n_click_only"][0]),
         int(so["n_view_only"][0])])
-    md = mode_lang_by_source_documents(sf_dir)
     kv("mode", [f"{s}:{l}" for s, l in zip(md["source"], md["mode_lang"])],
        md["n_docs"])
-    cp = coalesce_profile_documents(sf_dir)
     kv("coalesce", list(cp["picked"]), cp["n"])
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("k").reset_index(drop=True)
