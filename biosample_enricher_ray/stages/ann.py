@@ -337,9 +337,19 @@ def kmeans_distributed(
     Init is deterministic and block-order independent: the ``n_clusters``
     vectors whose Knuth-hashed ids are globally smallest (a uniform
     pseudo-random draw reproducible on any cluster size).
+
+    The (id, embedding) projection is materialized ONCE into the object
+    store (spill-backed) so the ``iters`` passes stream zero-copy blocks
+    instead of re-reading and re-decoding parquet every iteration — the
+    standard Ray Data shape for iterative algorithms; the projection is the
+    slim two-column table, never the full corpus row.
     """
+    from ray.data.dataset import MaterializedDataset
+
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.select_columns([id_column, embedding_column]).materialize()
     mult, mod = np.uint64(2654435761 + 2 * seed), np.uint64(4294967296)
 
     def init_partials(t: pa.Table) -> pa.Table:
@@ -436,6 +446,9 @@ def semdedup(
     """
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    # one slim materialization shared by the Lloyd iterations AND the
+    # assignment pass (kmeans_distributed skips re-materializing)
+    ds = ds.select_columns([id_column, embedding_column]).materialize()
     if centroids is None:
         centroids = kmeans_distributed(
             ds, n_clusters=n_clusters, iters=kmeans_iters,
@@ -443,7 +456,7 @@ def semdedup(
             concurrency=concurrency,
         )
     c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
-    assigned = ds.select_columns([id_column, embedding_column]).map_batches(
+    assigned = ds.map_batches(
         taskify(_ClusterAssigner, centroids_ref=c_ref,
                 embedding_column=embedding_column),
         batch_format="pyarrow", concurrency=concurrency,
