@@ -1519,23 +1519,30 @@ def hll_error_documents(sf_dir: str) -> pd.DataFrame:
         return pa.table({"col": c.field("values"),
                          "n": pc.cast(c.field("counts"), pa.int64())})
 
-    exact_df = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["col", "v"])
-        .count()
-        .map_batches(count_partial, batch_format="pyarrow")
-        .groupby("col")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    exact = dict(zip(exact_df["col"], exact_df["n"].astype(int)))
-    res = summarize_records(
-        records_dataset(
-            ds, [], ProfileSpec(columns=["lang", "source", "text"],
-                                distinct_columns=["lang", "source", "text"]),
-            path_column=None,
+    def exact_side() -> pd.DataFrame:
+        return (
+            ds.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby(["col", "v"])
+            .count()
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
         )
-    )
+
+    def sketch_side():
+        return summarize_records(
+            records_dataset(
+                ds, [], ProfileSpec(columns=["lang", "source", "text"],
+                                    distinct_columns=["lang", "source",
+                                                      "text"]),
+                path_column=None,
+            )
+        )
+
+    # exact scan and sketch profile are independent pipelines: overlap them
+    exact_df, res = _run_concurrent([exact_side, sketch_side])
+    exact = dict(zip(exact_df["col"], exact_df["n"].astype(int)))
     rows = []
     for c in sorted(exact):
         est = res.profiles[c]["distinct_hll"]
@@ -1557,19 +1564,22 @@ def tdigest_error_documents(sf_dir: str) -> pd.DataFrame:
         c = t["n_chars"].combine_chunks().drop_null().value_counts()
         return pa.table({"v": c.field("values"), "n": c.field("counts")})
 
-    counts = (
-        ds.map_batches(vc, batch_format="pyarrow")
-        .groupby("v").aggregate(Sum("n", alias_name="n"))
-        .to_pandas().sort_values("v")
-    )
+    # exact value-count scan and sketch profile overlap (independent runs)
+    counts, res = _run_concurrent([
+        lambda: (
+            ds.map_batches(vc, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("v")
+        ),
+        lambda: summarize_records(
+            records_dataset(ds, [], ProfileSpec(columns=["n_chars"]),
+                            path_column=None)
+        ),
+    ])
     total = int(counts["n"].sum())
     cum = counts["n"].cumsum().to_numpy()
     vals = counts["v"].to_numpy()
 
-    res = summarize_records(
-        records_dataset(ds, [], ProfileSpec(columns=["n_chars"]),
-                        path_column=None)
-    )
     est = res.profiles["n_chars"]["quantiles"]
 
     rows = []
