@@ -380,6 +380,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corr_value_hour_events",
         "set_ops_click_view_users",
         "mode_lang_by_source_documents",
+        "left_join_orders_lineitem",
     ]
     out = {}
     for name, fn in QUERIES.items():

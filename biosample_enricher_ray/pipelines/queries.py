@@ -3290,6 +3290,67 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def left_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER shuffle hash join at fact scale (the outer-join sibling
+    of join_revenue_by_priority): orders ⟕ high-quantity lineitems, so
+    orders with no qualifying items survive null-filled — per priority the
+    row count exceeds the matched count. Projected columns only; salt=2
+    exercises the replicated-right path under outer semantics."""
+    from ..stages.shuffle import shuffle_hash_join
+
+    right = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_quantity"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["l_quantity"], 48)).select(
+            ["l_orderkey", "l_extendedprice"])
+
+    left = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(
+        left, "o_orderkey",
+        right.map_batches(filt, batch_format="pyarrow"), "l_orderkey",
+        salt=2, how="left",
+    )
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_rows", pa.int64()),
+                            ("n_matched", pa.int64()),
+                            ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
+            return out_schema.empty_table()
+        price = t["l_extendedprice"]
+        matched = pc.is_valid(price).to_numpy(zero_copy_only=False)
+        cents = np.where(matched, np.floor(
+            price.to_numpy(zero_copy_only=False) * 100.0 + 0.5), 0.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"p": t["o_orderpriority"].to_pandas(),
+                           "m": matched.astype(np.int64), "c": cents})
+        g = df.groupby("p", sort=False).agg(
+            n_rows=("m", "size"), n_matched=("m", "sum"), cents=("c", "sum")
+        ).reset_index()
+        return pa.table({
+            "o_orderpriority": pa.array(g["p"].to_numpy(dtype=object),
+                                        pa.string()),
+            "n_rows": pa.array(g["n_rows"].to_numpy(dtype=np.int64)),
+            "n_matched": pa.array(g["n_matched"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+        })
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_matched", alias_name="n_matched"),
+                   Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    for c in ("n_rows", "n_matched", "cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     """Driver-facing merged gate for the window/rollup/set-op family (the
     dedup_planted_gates consolidation pattern: seven oracle-backed operators
@@ -3417,6 +3478,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 # iterates QUERIES | EXTRA_QUERIES) and benchmarkable.
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
+    "left_join_orders_lineitem": left_join_orders_lineitem,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3460,6 +3522,16 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "left_join_orders_lineitem": (
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "COUNT(l_extendedprice) AS n_matched, "
+        "CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+        "AS BIGINT)), 0) AS BIGINT) AS cents "
+        "FROM orders LEFT JOIN (SELECT l_orderkey, l_extendedprice "
+        "FROM lineitem WHERE l_quantity >= 48) li "
+        "ON o_orderkey = li.l_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
     "ntile_deciles_documents": (
         "WITH r AS (SELECT doc_id, n_chars, "
         "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn, "

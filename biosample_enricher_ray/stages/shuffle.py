@@ -304,8 +304,9 @@ def shuffle_hash_join(
     *,
     num_buckets: int | None = None,
     salt: int = 1,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """General large×large INNER equi-join producing joined rows — the
+    """General large×large equi-join producing joined rows — the
     missing fact⋈fact operator (round-3 VERDICT ask #6; reference analog J1,
     adapters.py:610-640, promoted from dimension scale to fact scale).
 
@@ -320,8 +321,10 @@ def shuffle_hash_join(
     Scale shape: ONLY the projected columns move (callers must
     ``select_columns`` both sides down to what the join output needs — a
     join that ships unused columns is wrong at 100 TB), and each side moves
-    exactly once. Null join keys are dropped (SQL inner-join semantics:
-    NULL never matches).
+    exactly once. ``how`` is ``"inner"`` (default) or ``"left"`` (left
+    outer). Null join keys never match (SQL semantics); under ``"left"``
+    null-key left rows are still kept — routed to one bucket and emitted
+    with null right columns by the in-bucket left-outer join.
 
     Skew: one bucket holds every row of its keys; a zipf-hot key with large
     groups on BOTH sides makes that reducer the straggler. When the hot
@@ -338,6 +341,8 @@ def shuffle_hash_join(
     """
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if num_buckets is None:
         num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
     bits = max(1, int(np.ceil(np.log2(num_buckets))))
@@ -345,11 +350,17 @@ def shuffle_hash_join(
     shift = np.uint64(64 - bits)
     salt = max(1, int(salt))
     n_parts = num_buckets * salt
+    join_type = "inner" if how == "inner" else "left outer"
 
     @ray.remote
     def map_side(t: pa.Table, col: str, replicate: bool) -> list[pa.Table]:
         if t.num_rows == 0 or col not in t.schema.names:
             return [t.slice(0, 0) for _ in range(n_parts)]
+        nulls = None
+        if how == "left" and not replicate:
+            # left outer keeps null-key left rows: route them all to one
+            # bucket (they match nothing, the local join null-fills them)
+            nulls = t.filter(pc.is_null(t[col]))
         t = t.filter(pc.is_valid(t[col]))
         h = hash64(t[col].combine_chunks())
         bucket = (h >> shift).astype(np.int64)
@@ -367,6 +378,8 @@ def shuffle_hash_join(
         if salt > 1 and replicate:
             # right side: every sub-bucket of a bucket gets the full bucket
             parts = [parts[(b // salt) * salt] for b in range(n_parts)]
+        if nulls is not None and nulls.num_rows:
+            parts[0] = pa.concat_tables([nulls, parts[0]])
         return parts
 
     @ray.remote
@@ -374,7 +387,7 @@ def shuffle_hash_join(
         lefts = [p for p in parts[:n_left] if p.num_rows]
         rights = [p for p in parts[n_left:] if p.num_rows]
         if not lefts or not rights:
-            # empty inner join still needs the full output schema; hunt for
+            # an empty side still needs the full output schema; hunt for
             # any part that carries it (schema-less empty blocks exist)
             lt = next((p for p in parts[:n_left]
                        if left_key in p.schema.names), None)
@@ -382,14 +395,20 @@ def shuffle_hash_join(
                        if right_key in p.schema.names), None)
             if lt is None or rt is None:
                 return pa.table({})
-            return lt.slice(0, 0).join(
+            if lefts and how == "left":
+                # left rows with an empty right side survive a left outer
+                # join, null-filled
+                lt = pa.concat_tables(lefts).combine_chunks()
+            else:
+                lt = lt.slice(0, 0)
+            return lt.join(
                 rt.slice(0, 0), keys=[left_key], right_keys=[right_key],
-                join_type="inner",
+                join_type=join_type,
             )
         lt = pa.concat_tables(lefts).combine_chunks()
         rt = pa.concat_tables(rights).combine_chunks()
         return lt.join(rt, keys=[left_key], right_keys=[right_key],
-                       join_type="inner")
+                       join_type=join_type)
 
     left_refs = left_ds.to_arrow_refs()
     right_refs = right_ds.to_arrow_refs()

@@ -280,3 +280,48 @@ def test_shuffle_hash_join_null_keys_and_empty_blocks():
     # (lv=4 has k=4, outside the right key range; lv=0,3,6,9 have NULL keys)
     assert set(got["lv"]) == {1, 2, 5, 7, 8, 10, 11}
     assert (got["rv"] == got["k"] * 100).all()
+
+
+def test_shuffle_hash_join_left_outer():
+    """LEFT OUTER: unmatched and null-key left rows survive null-filled,
+    matched rows duplicate per right match — identical under salting."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, None, 5], pa.int64()),
+                     "lv": pa.array(list("abcde"))})
+    right = pa.table({"rk": pa.array([1, 1, 3], pa.int64()),
+                      "rv": pa.array([10, 11, 30], pa.int64())})
+    expected = {("a", 10.0), ("a", 11.0), ("b", None), ("c", 30.0),
+                ("d", None), ("e", None)}
+    for salt in (1, 2):
+        got = shuffle_hash_join(
+            ray.data.from_arrow(left).repartition(2), "k",
+            ray.data.from_arrow(right).repartition(2), "rk",
+            salt=salt, how="left",
+        ).to_pandas()
+        rows = {(r["lv"], None if pd.isna(r["rv"]) else float(r["rv"]))
+                for _, r in got.iterrows()}
+        assert rows == expected and len(got) == 6, salt
+
+
+def test_shuffle_hash_join_left_outer_empty_right():
+    """A left outer join against a fully-filtered right side keeps every
+    left row null-filled (the empty-bucket schema path)."""
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = ray.data.from_items(
+        [{"k": i, "lv": i * 2} for i in range(10)], override_num_blocks=3)
+    right = ray.data.from_items(
+        [{"rk": i, "rv": i} for i in range(5)], override_num_blocks=2
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["rk"], 99)), batch_format="pyarrow"
+    )
+    got = shuffle_hash_join(left, "k", right, "rk", how="left").to_pandas()
+    assert len(got) == 10
+    assert got["rv"].isna().all()
+    assert set(got["lv"]) == {i * 2 for i in range(10)}
