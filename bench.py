@@ -381,6 +381,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "set_ops_click_view_users",
         "mode_lang_by_source_documents",
         "left_join_orders_lineitem",
+        "hll_by_lang_documents",
     ]
     out = {}
     for name, fn in QUERIES.items():

@@ -3290,6 +3290,92 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def hll_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP HLL distinct — the grouped form of the A3 profile sketch:
+    distinct texts per language without per-group exact sets. Each batch
+    emits one (lang, registers) row per language present (p=12 → 4 KiB,
+    mergeable); a key-only groupby merges registers by elementwise max and
+    estimates. The shuffle carries O(groups × batches) sketch rows, never
+    values — the only per-group-distinct shape that survives 10^12 rows
+    per group. Gated against the exact distributed COUNT(DISTINCT) twin
+    (computed concurrently), tolerance max(±2, 5%); sketch drift goes
+    driver-red via the TRUE-pinned hll_ok column."""
+    from ..functions.hashing import hash64
+    from ..functions.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    p_bits = 12
+    m = 1 << p_bits
+    sketch_schema = pa.schema([("lang", pa.string()),
+                               ("regs", pa.binary(m))])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sketch_schema.empty_table()
+        lang = t["lang"].to_pandas().fillna("(null)").to_numpy(dtype=object)
+        text = t["text"].combine_chunks()
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        h = np.zeros(len(t), dtype=np.uint64)
+        if valid.any():
+            h[valid] = hash64(text.drop_null())
+        langs, regs = [], []
+        for g in np.unique(lang):
+            hll = HyperLogLog(p=p_bits)
+            hll.update(h[(lang == g) & valid])
+            langs.append(g)
+            regs.append(hll.registers.tobytes())
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "regs": pa.array(regs, pa.binary(m))})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.frombuffer(b, dtype=np.uint8)
+                          for b in g["regs"]])
+        hll = HyperLogLog(p=p_bits)
+        hll.registers = np.maximum.reduce(stack)
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "est": [float(hll.estimate())]})
+
+    def sketch_side() -> pd.DataFrame:
+        return (
+            ds.map_batches(sketch_partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas()
+        )
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna("(null)"),
+            "v": t["text"].to_pandas(),
+        }).dropna(subset=["v"]).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def exact_count(t: pa.Table) -> pa.Table:
+        c = t["lang"].combine_chunks().value_counts()
+        return pa.table({"lang": c.field("values"),
+                         "n": pc.cast(c.field("counts"), pa.int64())})
+
+    def exact_side() -> pd.DataFrame:
+        return (
+            ds.map_batches(exact_partial, batch_format="pyarrow")
+            .groupby(["lang", "v"])
+            .count()
+            .map_batches(exact_count, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+
+    est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    est = dict(zip(est_df["lang"], est_df["est"]))
+    rows = []
+    for lang, n in sorted(zip(exact_df["lang"], exact_df["n"].astype(int))):
+        err = abs(est.get(lang, 0.0) - n)
+        rows.append((lang, n, bool(err <= 2 or err / max(n, 1) <= 0.05)))
+    return pd.DataFrame(rows, columns=["lang", "n_exact", "hll_ok"]).astype(
+        {"lang": "object", "n_exact": "int64", "hll_ok": "bool"})
+
+
 def left_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER shuffle hash join at fact scale (the outer-join sibling
     of join_revenue_by_priority): orders ⟕ high-quantity lineitems, so
@@ -3479,6 +3565,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
     "left_join_orders_lineitem": left_join_orders_lineitem,
+    "hll_by_lang_documents": hll_by_lang_documents,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3522,6 +3609,11 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "hll_by_lang_documents": (
+        "SELECT COALESCE(lang, '(null)') AS lang, "
+        "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, TRUE AS hll_ok "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
     "left_join_orders_lineitem": (
         "SELECT o_orderpriority, COUNT(*) AS n_rows, "
         "COUNT(l_extendedprice) AS n_matched, "

@@ -341,8 +341,12 @@ def shuffle_hash_join(
     """
     import ray
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
+    if how == "full" and salt > 1:
+        raise ValueError(
+            "full outer join cannot use salt > 1: replicated right rows "
+            "would emit their unmatched copies once per sub-bucket")
     if num_buckets is None:
         num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
     bits = max(1, int(np.ceil(np.log2(num_buckets))))
@@ -350,16 +354,17 @@ def shuffle_hash_join(
     shift = np.uint64(64 - bits)
     salt = max(1, int(salt))
     n_parts = num_buckets * salt
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
 
     @ray.remote
     def map_side(t: pa.Table, col: str, replicate: bool) -> list[pa.Table]:
         if t.num_rows == 0 or col not in t.schema.names:
             return [t.slice(0, 0) for _ in range(n_parts)]
         nulls = None
-        if how == "left" and not replicate:
-            # left outer keeps null-key left rows: route them all to one
-            # bucket (they match nothing, the local join null-fills them)
+        if (how == "left" and not replicate) or how == "full":
+            # outer sides keep null-key rows: route them all to one bucket
+            # (they match nothing, the local join null-fills them)
             nulls = t.filter(pc.is_null(t[col]))
         t = t.filter(pc.is_valid(t[col]))
         h = hash64(t[col].combine_chunks())
@@ -395,14 +400,18 @@ def shuffle_hash_join(
                        if right_key in p.schema.names), None)
             if lt is None or rt is None:
                 return pa.table({})
-            if lefts and how == "left":
-                # left rows with an empty right side survive a left outer
+            if lefts and how in ("left", "full"):
+                # left rows with an empty right side survive an outer
                 # join, null-filled
                 lt = pa.concat_tables(lefts).combine_chunks()
             else:
                 lt = lt.slice(0, 0)
+            if rights and how == "full":
+                rt = pa.concat_tables(rights).combine_chunks()
+            else:
+                rt = rt.slice(0, 0)
             return lt.join(
-                rt.slice(0, 0), keys=[left_key], right_keys=[right_key],
+                rt, keys=[left_key], right_keys=[right_key],
                 join_type=join_type,
             )
         lt = pa.concat_tables(lefts).combine_chunks()

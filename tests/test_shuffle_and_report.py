@@ -325,3 +325,31 @@ def test_shuffle_hash_join_left_outer_empty_right():
     assert len(got) == 10
     assert got["rv"].isna().all()
     assert set(got["lv"]) == {i * 2 for i in range(10)}
+
+
+def test_shuffle_hash_join_full_outer():
+    """FULL OUTER: both sides' unmatched and null-key rows survive; salt>1
+    is rejected (replication would duplicate unmatched right rows)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, None], pa.int64()),
+                     "lv": pa.array(["a", "b", "c"])})
+    right = pa.table({"rk": pa.array([1, 4, None], pa.int64()),
+                      "rv": pa.array([10, 40, 99], pa.int64())})
+    got = shuffle_hash_join(
+        ray.data.from_arrow(left).repartition(2), "k",
+        ray.data.from_arrow(right).repartition(2), "rk", how="full",
+    ).to_pandas()
+    assert len(got) == 5
+    rows = {(r["lv"], None if pd.isna(r["rv"]) else int(r["rv"]))
+            for _, r in got.iterrows()}
+    assert rows == {("a", 10), ("b", None), ("c", None),
+                    (None, 40), (None, 99)}
+    with pytest.raises(ValueError, match="salt"):
+        shuffle_hash_join(ray.data.from_arrow(left), "k",
+                          ray.data.from_arrow(right), "rk",
+                          how="full", salt=2)
