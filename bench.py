@@ -382,6 +382,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mode_lang_by_source_documents",
         "left_join_orders_lineitem",
         "hll_by_lang_documents",
+        "click_view_day_join_events",
     ]
     out = {}
     for name, fn in QUERIES.items():

@@ -3290,6 +3290,82 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def click_view_day_join_events(sf_dir: str) -> pd.DataFrame:
+    """COMPOSITE-KEY shuffle hash join — raw click events joined to the
+    per-(user, day) view-count table on BOTH keys (the enrich-facts-with-
+    daily-context shape): the left side stays at fact scale, the right is
+    the groupby-reduced context, and the exchange buckets on the mixed
+    hash of (user_id, day). Per day: matched click rows + total context
+    views."""
+    from ..stages.shuffle import shuffle_hash_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.strftime(t["ts"], "%Y-%m-%d"),
+        })
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        df = pd.DataFrame({
+            "v_user": t["user_id"].to_numpy(zero_copy_only=False),
+            "v_day": pc.strftime(t["ts"], "%Y-%m-%d").to_pandas(),
+        })
+        g = df.groupby(["v_user", "v_day"], sort=False).size().rename(
+            "n_views").reset_index()
+        return pa.table({
+            "v_user": pa.array(g["v_user"].to_numpy(dtype=np.int64)),
+            "v_day": pa.array(g["v_day"].to_numpy(dtype=object),
+                              pa.string()),
+            "n_views": pa.array(g["n_views"].to_numpy(dtype=np.int64)),
+        })
+
+    left = ds.map_batches(clicks, batch_format="pyarrow")
+    right = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(views, batch_format="pyarrow")
+        .groupby(["v_user", "v_day"])
+        .aggregate(Sum("n_views", alias_name="n_views"))
+    )
+    # the aggregated context table is tiny but Ray's groupby emits it in
+    # O(input-blocks) fragments — compact before the join's map fan-out
+    # (each map task returns num_buckets objects)
+    joined = shuffle_hash_join(left, ["user_id", "day"],
+                               right.repartition(4), ["v_user", "v_day"])
+
+    out_schema = pa.schema([("day", pa.string()), ("n_clicks", pa.int64()),
+                            ("sum_views", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.schema.names:
+            return out_schema.empty_table()
+        df = pd.DataFrame({
+            "day": t["day"].to_pandas(),
+            "v": t["n_views"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("day", sort=False).agg(
+            n_clicks=("v", "size"), sum_views=("v", "sum")).reset_index()
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy(dtype=object), pa.string()),
+            "n_clicks": pa.array(g["n_clicks"].to_numpy(dtype=np.int64)),
+            "sum_views": pa.array(g["sum_views"].to_numpy(dtype=np.int64)),
+        })
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_clicks", alias_name="n_clicks"),
+                   Sum("sum_views", alias_name="sum_views"))
+        .to_pandas()
+    )
+    out["n_clicks"] = out["n_clicks"].astype("int64")
+    out["sum_views"] = out["sum_views"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def hll_by_lang_documents(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP HLL distinct — the grouped form of the A3 profile sketch:
     distinct texts per language without per-group exact sets. Each batch
@@ -3566,6 +3642,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
     "left_join_orders_lineitem": left_join_orders_lineitem,
     "hll_by_lang_documents": hll_by_lang_documents,
+    "click_view_day_join_events": click_view_day_join_events,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3609,6 +3686,17 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "click_view_day_join_events": (
+        "WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        "COUNT(*) AS n_views FROM events WHERE event_type = 'view' "
+        "GROUP BY 1, 2), "
+        "c AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events "
+        "WHERE event_type = 'click') "
+        "SELECT STRFTIME(c.day, '%Y-%m-%d') AS day, "
+        "COUNT(*) AS n_clicks, CAST(SUM(v.n_views) AS BIGINT) AS sum_views "
+        "FROM c JOIN v ON c.user_id = v.user_id AND c.day = v.day "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "hll_by_lang_documents": (
         "SELECT COALESCE(lang, '(null)') AS lang, "
         "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact, TRUE AS hll_ok "

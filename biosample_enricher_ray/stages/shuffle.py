@@ -298,9 +298,9 @@ def shuffle_semi_join_complement(
 
 def shuffle_hash_join(
     left_ds: ray.data.Dataset,
-    left_key: str,
+    left_key: str | list[str],
     right_ds: ray.data.Dataset,
-    right_key: str,
+    right_key: str | list[str],
     *,
     num_buckets: int | None = None,
     salt: int = 1,
@@ -336,10 +336,21 @@ def shuffle_hash_join(
     key multiplicities (replication never duplicates output pairs because
     each left row lands in exactly one sub-bucket).
 
+    Composite keys: pass lists for ``left_key``/``right_key`` (equal
+    length). Bucketing mixes the per-column hashes (distinct odd-constant
+    multiplies + XOR — collisions only affect balance, never correctness);
+    a row with ANY null key component never matches, mirroring SQL.
+
     Payload column names must be disjoint across sides (pyarrow.join
-    contract); the join key survives once under ``left_key``.
+    contract); the join keys survive once under the left names.
     """
     import ray
+
+    left_keys = [left_key] if isinstance(left_key, str) else list(left_key)
+    right_keys = ([right_key] if isinstance(right_key, str)
+                  else list(right_key))
+    if len(left_keys) != len(right_keys) or not left_keys:
+        raise ValueError("left_key and right_key must align (>=1 column)")
 
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
@@ -358,16 +369,23 @@ def shuffle_hash_join(
                  "full": "full outer"}[how]
 
     @ray.remote
-    def map_side(t: pa.Table, col: str, replicate: bool) -> list[pa.Table]:
-        if t.num_rows == 0 or col not in t.schema.names:
+    def map_side(t: pa.Table, cols: list[str], replicate: bool) -> list[pa.Table]:
+        if t.num_rows == 0 or any(c not in t.schema.names for c in cols):
             return [t.slice(0, 0) for _ in range(n_parts)]
+        valid = pc.is_valid(t[cols[0]])
+        for c in cols[1:]:
+            valid = pc.and_(valid, pc.is_valid(t[c]))
         nulls = None
         if (how == "left" and not replicate) or how == "full":
             # outer sides keep null-key rows: route them all to one bucket
             # (they match nothing, the local join null-fills them)
-            nulls = t.filter(pc.is_null(t[col]))
-        t = t.filter(pc.is_valid(t[col]))
-        h = hash64(t[col].combine_chunks())
+            nulls = t.filter(pc.invert(valid))
+        t = t.filter(valid)
+        h = hash64(t[cols[0]].combine_chunks())
+        for i, c in enumerate(cols[1:], start=1):
+            # mix composite keys: distinct odd multipliers then XOR
+            h = h ^ (hash64(t[c].combine_chunks())
+                     * np.uint64(0x9E3779B97F4A7C15 + 2 * i))
         bucket = (h >> shift).astype(np.int64)
         if salt > 1 and not replicate:
             # round-robin sub-bucket: spreads a hot key's rows evenly and
@@ -395,9 +413,9 @@ def shuffle_hash_join(
             # an empty side still needs the full output schema; hunt for
             # any part that carries it (schema-less empty blocks exist)
             lt = next((p for p in parts[:n_left]
-                       if left_key in p.schema.names), None)
+                       if all(k in p.schema.names for k in left_keys)), None)
             rt = next((p for p in parts[n_left:]
-                       if right_key in p.schema.names), None)
+                       if all(k in p.schema.names for k in right_keys)), None)
             if lt is None or rt is None:
                 return pa.table({})
             if lefts and how in ("left", "full"):
@@ -411,19 +429,19 @@ def shuffle_hash_join(
             else:
                 rt = rt.slice(0, 0)
             return lt.join(
-                rt, keys=[left_key], right_keys=[right_key],
+                rt, keys=left_keys, right_keys=right_keys,
                 join_type=join_type,
             )
         lt = pa.concat_tables(lefts).combine_chunks()
         rt = pa.concat_tables(rights).combine_chunks()
-        return lt.join(rt, keys=[left_key], right_keys=[right_key],
+        return lt.join(rt, keys=left_keys, right_keys=right_keys,
                        join_type=join_type)
 
     left_refs = left_ds.to_arrow_refs()
     right_refs = right_ds.to_arrow_refs()
-    left_maps = [map_side.options(num_returns=n_parts).remote(b, left_key, False)
+    left_maps = [map_side.options(num_returns=n_parts).remote(b, left_keys, False)
                  for b in left_refs]
-    right_maps = [map_side.options(num_returns=n_parts).remote(b, right_key, True)
+    right_maps = [map_side.options(num_returns=n_parts).remote(b, right_keys, True)
                   for b in right_refs]
     if n_parts == 1:
         left_maps = [[r] for r in left_maps]

@@ -353,3 +353,36 @@ def test_shuffle_hash_join_full_outer():
         shuffle_hash_join(ray.data.from_arrow(left), "k",
                           ray.data.from_arrow(right), "rk",
                           how="full", salt=2)
+
+
+def test_shuffle_hash_join_composite_keys():
+    """Composite-key join matches a pandas two-key merge; a row with ANY
+    null key component never matches (inner) but survives left outer."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    lt = pa.table({
+        "a": pa.array([1, 1, 2, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", "y", "x", "y", "x", None]),
+        "lv": pa.array(list(range(6)), pa.int64()),
+    })
+    rt = pa.table({
+        "ra": pa.array([1, 2, 2, 9], pa.int64()),
+        "rb": pa.array(["x", "x", "y", "x"]),
+        "rv": pa.array([10, 20, 21, 90], pa.int64()),
+    })
+    got = shuffle_hash_join(
+        ray.data.from_arrow(lt).repartition(3), ["a", "b"],
+        ray.data.from_arrow(rt).repartition(2), ["ra", "rb"],
+    ).to_pandas()
+    l, r = lt.to_pandas(), rt.to_pandas()
+    exp = l.dropna().merge(r, left_on=["a", "b"], right_on=["ra", "rb"])
+    assert sorted(got["lv"]) == sorted(exp["lv"])
+    assert sorted(got["rv"]) == sorted(exp["rv"])
+    left_outer = shuffle_hash_join(
+        ray.data.from_arrow(lt).repartition(3), ["a", "b"],
+        ray.data.from_arrow(rt).repartition(2), ["ra", "rb"], how="left",
+    ).to_pandas()
+    assert len(left_outer) == 6  # 3 matches + 1 unmatched + 2 null-key rows
