@@ -83,7 +83,8 @@ def _install_fsspec_http_stub() -> None:
         fsimpl.http = stub
 
 
-def _run_concurrent(fns: list[Callable[[], Any]]) -> list[Any]:
+def _run_concurrent(fns: list[Callable[[], Any]],
+                    max_workers: int | None = None) -> list[Any]:
     """Run component pipelines from concurrent driver threads — each Ray
     Data execution owns its streaming executor, so a merged gate costs
     ~max(component) wall time instead of sum(component) while the cluster
@@ -91,7 +92,7 @@ def _run_concurrent(fns: list[Callable[[], Any]]) -> list[Any]:
     from concurrent.futures import ThreadPoolExecutor
 
     _install_fsspec_http_stub()
-    with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+    with ThreadPoolExecutor(max_workers=max_workers or len(fns)) as ex:
         return [f.result() for f in [ex.submit(fn) for fn in fns]]
 
 
@@ -3018,18 +3019,23 @@ def ntile_deciles_documents(sf_dir: str) -> pd.DataFrame:
     assignment without shipping 10^12 ranked rows to the driver."""
     from ..stages.window import global_row_numbers
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # size the sort's range partitioning from metadata (O(1) footer read):
+    # ~250k two-int64-column rows per block; tiny inputs collapse to 4
+    # tasks. Sizing at the READ (override_num_blocks) instead of a
+    # repartition saves a whole extra exchange before the sort.
+    rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_blocks = int(np.clip(rows // 250_000, 4, 4096))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        override_num_blocks=n_blocks,
+    )
 
     def drop_null(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t["n_chars"]))
 
-    # size the sort's range partitioning from metadata (O(1) footer read):
-    # ~250k two-int64-column rows per block; tiny inputs collapse to 4 tasks
-    rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     ranked = global_row_numbers(
         ds.map_batches(drop_null, batch_format="pyarrow"),
         ["n_chars", "doc_id"], n_tiles=10,
-        target_blocks=int(np.clip(rows // 250_000, 4, 4096)),
     )
 
     tile_schema = pa.schema([
@@ -3530,6 +3536,10 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
             "v": np.asarray(vals, dtype=np.int64),
         }))
 
+    # max_workers=3, not 7: these components are short shuffle-heavy jobs,
+    # and beyond ~3 concurrent streaming executors the scheduling/exchange
+    # contention exceeds the overlap win (measured 9 s at 3 vs 15-17 s at 7
+    # vs 12 s sequential, sf0.1/32 CPUs)
     (nt, lg, rl, co, so, md, cp) = _run_concurrent([
         lambda: ntile_deciles_documents(sf_dir),
         lambda: lag_delta_events(sf_dir),
@@ -3538,7 +3548,7 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         lambda: set_ops_click_view_users(sf_dir),
         lambda: mode_lang_by_source_documents(sf_dir),
         lambda: coalesce_profile_documents(sf_dir),
-    ])
+    ], max_workers=3)
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
                 "max_n_chars", "sum_doc_id"):
         kv("ntile", [f"t{t}:{col}" for t in nt["tile"]], nt[col])
