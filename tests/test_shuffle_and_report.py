@@ -386,3 +386,23 @@ def test_shuffle_hash_join_composite_keys():
         ray.data.from_arrow(rt).repartition(2), ["ra", "rb"], how="left",
     ).to_pandas()
     assert len(left_outer) == 6  # 3 matches + 1 unmatched + 2 null-key rows
+
+
+def test_recommend_join_salt():
+    """Adaptive salt: a zipf-hot key that dwarfs a fair bucket share gets
+    salt > 1; balanced keys get salt 1 (salting is overhead there)."""
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import recommend_join_salt
+
+    hot = ray.data.from_arrow(pa.table({
+        "k": pa.array([7] * 9000 + list(range(1000)), pa.int64())
+    })).repartition(8)
+    s_hot = recommend_join_salt(hot, "k", num_buckets=8, sample_frac=0.5)
+    assert s_hot > 1
+
+    flat = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(10000)), pa.int64())
+    })).repartition(8)
+    assert recommend_join_salt(flat, "k", num_buckets=8,
+                               sample_frac=0.5) == 1
