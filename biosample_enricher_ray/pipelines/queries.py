@@ -3336,11 +3336,10 @@ def click_view_day_join_events(sf_dir: str) -> pd.DataFrame:
         .groupby(["v_user", "v_day"])
         .aggregate(Sum("n_views", alias_name="n_views"))
     )
-    # the aggregated context table is tiny but Ray's groupby emits it in
-    # O(input-blocks) fragments — compact before the join's map fan-out
-    # (each map task returns num_buckets objects)
+    # the aggregated context table arrives in O(input-blocks) fragments —
+    # the join coalesces map-side inputs itself, no repartition needed
     joined = shuffle_hash_join(left, ["user_id", "day"],
-                               right.repartition(4), ["v_user", "v_day"])
+                               right, ["v_user", "v_day"])
 
     out_schema = pa.schema([("day", pa.string()), ("n_clicks", pa.int64()),
                             ("sum_views", pa.int64())])

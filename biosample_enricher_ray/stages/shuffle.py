@@ -408,9 +408,17 @@ def shuffle_hash_join(
                  "full": "full outer"}[how]
 
     @ray.remote
-    def map_side(t: pa.Table, cols: list[str], replicate: bool) -> list[pa.Table]:
-        if t.num_rows == 0 or any(c not in t.schema.names for c in cols):
-            return [t.slice(0, 0) for _ in range(n_parts)]
+    def map_side(cols: list[str], replicate: bool,
+                 *tables: pa.Table) -> list[pa.Table]:
+        good = [t for t in tables
+                if t.num_rows and all(c in t.schema.names for c in cols)]
+        if not good:
+            empty = next((t.slice(0, 0) for t in tables
+                          if all(c in t.schema.names for c in cols)),
+                         tables[0].slice(0, 0))
+            return [empty for _ in range(n_parts)]
+        t = (pa.concat_tables(good).combine_chunks()
+             if len(good) > 1 else good[0])
         valid = pc.is_valid(t[cols[0]])
         for c in cols[1:]:
             valid = pc.and_(valid, pc.is_valid(t[c]))
@@ -478,10 +486,22 @@ def shuffle_hash_join(
 
     left_refs = left_ds.to_arrow_refs()
     right_refs = right_ds.to_arrow_refs()
-    left_maps = [map_side.options(num_returns=n_parts).remote(b, left_keys, False)
-                 for b in left_refs]
-    right_maps = [map_side.options(num_returns=n_parts).remote(b, right_keys, True)
-                  for b in right_refs]
+
+    def _chunks(refs: list) -> list[list]:
+        # the exchange creates n_map_tasks x n_parts objects: coalesce
+        # fragmented inputs (e.g. a groupby's O(input-blocks) tiny outputs)
+        # so the fan-out stays bounded — no extra exchange, the map task
+        # just concats its blocks locally
+        max_tasks = 4 * num_buckets
+        k = max(1, int(np.ceil(len(refs) / max_tasks)))
+        return [refs[i:i + k] for i in range(0, len(refs), k)]
+
+    left_maps = [
+        map_side.options(num_returns=n_parts).remote(left_keys, False, *c)
+        for c in _chunks(left_refs)]
+    right_maps = [
+        map_side.options(num_returns=n_parts).remote(right_keys, True, *c)
+        for c in _chunks(right_refs)]
     if n_parts == 1:
         left_maps = [[r] for r in left_maps]
         right_maps = [[r] for r in right_maps]
