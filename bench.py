@@ -383,6 +383,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "left_join_orders_lineitem",
         "hll_by_lang_documents",
         "click_view_day_join_events",
+        "tdigest_by_lang_documents",
     ]
     out = {}
     for name, fn in QUERIES.items():

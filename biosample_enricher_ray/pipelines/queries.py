@@ -3296,6 +3296,96 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def tdigest_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP TDigest quantiles (the quantile sibling of
+    hll_by_lang_documents): each batch emits one (lang, serialized-digest)
+    row per language present, a key-only groupby merges digests, and the
+    p50 estimate is gated against the exact grouped median computed
+    concurrently (value-count partials — the quantiles_by_lang machinery).
+    Sketch rows are O(groups × batches) and bounded (delta=200 centroids)
+    regardless of group size. Tolerance max(±2, 5%); drift goes red via
+    the TRUE-pinned td_ok column."""
+    from ..functions.sketches import TDigest
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    digest_schema = pa.schema([("lang", pa.string()),
+                               ("digest", pa.binary())])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return digest_schema.empty_table()
+        lang = t["lang"].to_pandas().fillna("(null)").to_numpy(dtype=object)
+        vals = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = pc.is_valid(t["n_chars"]).to_numpy(zero_copy_only=False)
+        langs, digs = [], []
+        for g in np.unique(lang):
+            td = TDigest()
+            td.update(vals[(lang == g) & valid])
+            langs.append(g)
+            digs.append(td.to_bytes())
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "digest": pa.array(digs, pa.binary())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import TDigest as TD
+
+        td = TD.from_bytes(g["digest"].iloc[0])
+        for b in g["digest"].iloc[1:]:
+            td.merge(TD.from_bytes(b))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "p50_est": [float(td.quantile(0.5))]})
+
+    def sketch_side() -> pd.DataFrame:
+        return (
+            ds.map_batches(sketch_partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas()
+        )
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna("(null)"),
+            "v": t["n_chars"].to_pandas(),
+        }).dropna(subset=["v"])
+        g = df.groupby(["lang", "v"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    def exact_median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        med = int(g["v"].to_numpy()[np.searchsorted(
+            cum, max(1, int(np.ceil(0.5 * total))))])
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "p50_exact": [med]})
+
+    def exact_side() -> pd.DataFrame:
+        return (
+            ds.map_batches(exact_partial, batch_format="pyarrow")
+            .groupby(["lang", "v"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("lang")
+            .map_groups(exact_median, batch_format="pandas")
+            .to_pandas()
+        )
+
+    est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    est = dict(zip(est_df["lang"], est_df["p50_est"]))
+    rows = []
+    for lang, v in sorted(zip(exact_df["lang"],
+                              exact_df["p50_exact"].astype(int))):
+        err = abs(est.get(lang, 0.0) - v)
+        rows.append((lang, v, bool(err <= 2 or err / max(v, 1) <= 0.05)))
+    return pd.DataFrame(rows, columns=["lang", "p50_exact", "td_ok"]).astype(
+        {"lang": "object", "p50_exact": "int64", "td_ok": "bool"})
+
+
 def click_view_day_join_events(sf_dir: str) -> pd.DataFrame:
     """COMPOSITE-KEY shuffle hash join — raw click events joined to the
     per-(user, day) view-count table on BOTH keys (the enrich-facts-with-
@@ -3652,6 +3742,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "left_join_orders_lineitem": left_join_orders_lineitem,
     "hll_by_lang_documents": hll_by_lang_documents,
     "click_view_day_join_events": click_view_day_join_events,
+    "tdigest_by_lang_documents": tdigest_by_lang_documents,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3695,6 +3786,11 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "tdigest_by_lang_documents": (
+        "SELECT COALESCE(lang, '(null)') AS lang, "
+        "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_exact, "
+        "TRUE AS td_ok FROM documents GROUP BY 1 ORDER BY 1"
+    ),
     "click_view_day_join_events": (
         "WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day, "
         "COUNT(*) AS n_views FROM events WHERE event_type = 'view' "
