@@ -3609,14 +3609,16 @@ def left_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 def window_ops_gates(sf_dir: str) -> pd.DataFrame:
-    """Driver-facing merged gate for the window/rollup/set-op family (the
-    dedup_planted_gates consolidation pattern: seven oracle-backed operators
-    in one registry slot). Every sub-result is melted to a long (k, v:int64)
-    frame — strings into the key, floats scaled to exact 1e-6 units after
-    the same ROUND(,6) both sides — so one dtype-sensitive value hash pins
-    all seven operators: ntile_deciles, lag_delta, rollup, corr, set-ops,
-    grouped mode, prioritized coalesce. Standalone twins stay in
-    EXTRA_QUERIES for per-operator pytest gating and benching."""
+    """Driver-facing merged gate for the window/relational family (the
+    dedup_planted_gates consolidation pattern: ELEVEN oracle-backed
+    operators in one registry slot). Every sub-result is melted to a long
+    (k, v:int64) frame — strings into the key, floats scaled to exact 1e-6
+    units after the same ROUND(,6) both sides — so one dtype-sensitive
+    value hash pins all eleven: ntile_deciles, lag_delta, rollup, corr,
+    set-ops, grouped mode, prioritized coalesce, the LEFT-OUTER and
+    composite-key shuffle hash joins, and the per-group HLL and TDigest
+    sketch gates. Standalone twins stay in EXTRA_QUERIES for per-operator
+    pytest gating and benching."""
     parts: list[pd.DataFrame] = []
 
     def kv(op: str, keys, vals) -> None:
@@ -3625,11 +3627,11 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
             "v": np.asarray(vals, dtype=np.int64),
         }))
 
-    # max_workers=3, not 7: these components are short shuffle-heavy jobs,
-    # and beyond ~3 concurrent streaming executors the scheduling/exchange
-    # contention exceeds the overlap win (measured 9 s at 3 vs 15-17 s at 7
-    # vs 12 s sequential, sf0.1/32 CPUs)
-    (nt, lg, rl, co, so, md, cp) = _run_concurrent([
+    # max_workers=3, not one-per-component: these are short shuffle-heavy
+    # jobs, and beyond ~3 concurrent streaming executors the scheduling/
+    # exchange contention exceeds the overlap win (measured 9 s at 3 vs
+    # 15-17 s at 7 vs 12 s sequential, sf0.1/32 CPUs)
+    (nt, lg, rl, co, so, md, cp, lj, ck, gh, gt) = _run_concurrent([
         lambda: ntile_deciles_documents(sf_dir),
         lambda: lag_delta_events(sf_dir),
         lambda: rollup_lang_source_documents(sf_dir),
@@ -3637,6 +3639,10 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         lambda: set_ops_click_view_users(sf_dir),
         lambda: mode_lang_by_source_documents(sf_dir),
         lambda: coalesce_profile_documents(sf_dir),
+        lambda: left_join_orders_lineitem(sf_dir),
+        lambda: click_view_day_join_events(sf_dir),
+        lambda: hll_by_lang_documents(sf_dir),
+        lambda: tdigest_by_lang_documents(sf_dir),
     ], max_workers=3)
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
                 "max_n_chars", "sum_doc_id"):
@@ -3662,6 +3668,17 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     kv("mode", [f"{s}:{l}" for s, l in zip(md["source"], md["mode_lang"])],
        md["n_docs"])
     kv("coalesce", list(cp["picked"]), cp["n"])
+    for col in ("n_rows", "n_matched", "cents"):
+        kv("leftjoin", [f"{p}:{col}" for p in lj["o_orderpriority"]],
+           lj[col])
+    for col in ("n_clicks", "sum_views"):
+        kv("ckjoin", [f"{d}:{col}" for d in ck["day"]], ck[col])
+    kv("ghll", [f"{g}:n_exact" for g in gh["lang"]], gh["n_exact"])
+    kv("ghll", [f"{g}:ok" for g in gh["lang"]],
+       gh["hll_ok"].to_numpy(dtype=np.int64))
+    kv("gtd", [f"{g}:p50" for g in gt["lang"]], gt["p50_exact"])
+    kv("gtd", [f"{g}:ok" for g in gt["lang"]],
+       gt["td_ok"].to_numpy(dtype=np.int64))
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("k").reset_index(drop=True)
 
@@ -4702,7 +4719,11 @@ _ALL_ORACLE_SQL["window_ops_gates"] = (
     "q_corr AS (" + _ALL_ORACLE_SQL["corr_value_hour_events"] + "), "
     "q_set AS (" + _ALL_ORACLE_SQL["set_ops_click_view_users"] + "), "
     "q_mode AS (" + _ALL_ORACLE_SQL["mode_lang_by_source_documents"] + "), "
-    "q_co AS (" + _ALL_ORACLE_SQL["coalesce_profile_documents"] + ") "
+    "q_co AS (" + _ALL_ORACLE_SQL["coalesce_profile_documents"] + "), "
+    "q_lj AS (" + _ALL_ORACLE_SQL["left_join_orders_lineitem"] + "), "
+    "q_ck AS (" + _ALL_ORACLE_SQL["click_view_day_join_events"] + "), "
+    "q_gh AS (" + _ALL_ORACLE_SQL["hll_by_lang_documents"] + "), "
+    "q_gt AS (" + _ALL_ORACLE_SQL["tdigest_by_lang_documents"] + ") "
     "SELECT k, CAST(v AS BIGINT) AS v FROM ("
     + " UNION ALL ".join(
         [
@@ -4737,6 +4758,23 @@ _ALL_ORACLE_SQL["window_ops_gates"] = (
             "SELECT 'mode:' || source || ':' || mode_lang, n_docs "
             "FROM q_mode",
             "SELECT 'coalesce:' || picked, n FROM q_co",
+        ]
+        + [
+            "SELECT 'leftjoin:' || o_orderpriority || ':" + c + "', " + c
+            + " FROM q_lj"
+            for c in ("n_rows", "n_matched", "cents")
+        ]
+        + [
+            "SELECT 'ckjoin:' || day || ':" + c + "', " + c + " FROM q_ck"
+            for c in ("n_clicks", "sum_views")
+        ]
+        + [
+            "SELECT 'ghll:' || lang || ':n_exact', n_exact FROM q_gh",
+            "SELECT 'ghll:' || lang || ':ok', CAST(hll_ok AS BIGINT) "
+            "FROM q_gh",
+            "SELECT 'gtd:' || lang || ':p50', p50_exact FROM q_gt",
+            "SELECT 'gtd:' || lang || ':ok', CAST(td_ok AS BIGINT) "
+            "FROM q_gt",
         ]
     )
     + ") ORDER BY k"
