@@ -2622,11 +2622,20 @@ def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
     k = 3
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
+    cut_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("n_chars", pa.int64())])
+
     def cut(t: pa.Table) -> pa.Table:
         df = t.to_pandas().dropna(subset=["lang", "n_chars"])
+        if df.empty:  # keep the fixed schema on emptied blocks
+            return cut_schema.empty_table()
         df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        return pa.Table.from_pandas(
-            df.groupby("lang", sort=False).head(k), preserve_index=False)
+        g = df.groupby("lang", sort=False).head(k)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(dtype=np.int64)),
+        })
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
