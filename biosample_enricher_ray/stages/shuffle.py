@@ -344,6 +344,8 @@ def shuffle_hash_join(
     num_buckets: int | None = None,
     salt: int = 1,
     how: str = "inner",
+    bloom_prefilter: bool = False,
+    bloom_fp_rate: float = 0.01,
 ) -> ray.data.Dataset:
     """General large×large equi-join producing joined rows — the
     missing fact⋈fact operator (round-3 VERDICT ask #6; reference analog J1,
@@ -374,6 +376,13 @@ def shuffle_hash_join(
     cost of salt× duplication of the (narrow) right side. Correct for any
     key multiplicities (replication never duplicates output pairs because
     each left row lands in exactly one sub-bucket).
+
+    ``bloom_prefilter=True`` (inner joins only): one extra pass over the
+    right side builds a Bloom filter of its key hashes (~1.2 bytes/key at
+    1% FP), broadcast once; left map tasks drop non-member rows BEFORE the
+    exchange — when most left rows have no match (selective joins), the
+    shuffled volume drops to ~match-fraction of the left side. False
+    positives only ship a few extra rows; the in-bucket join stays exact.
 
     Composite keys: pass lists for ``left_key``/``right_key`` (equal
     length). Bucketing mixes the per-column hashes (distinct odd-constant
@@ -406,9 +415,27 @@ def shuffle_hash_join(
     n_parts = num_buckets * salt
     join_type = {"inner": "inner", "left": "left outer",
                  "full": "full outer"}[how]
+    if bloom_prefilter and how != "inner":
+        raise ValueError(
+            "bloom_prefilter requires an inner join: outer joins must keep "
+            "non-matching rows")
+
+    def _mixed_hash(t: pa.Table, cols: list[str]) -> np.ndarray:
+        h = hash64(t[cols[0]].combine_chunks())
+        for i, c in enumerate(cols[1:], start=1):
+            # mix composite keys: distinct odd multipliers then XOR
+            h = h ^ (hash64(t[c].combine_chunks())
+                     * np.uint64(0x9E3779B97F4A7C15 + 2 * i))
+        return h
+
+    def _valid_mask(t: pa.Table, cols: list[str]):
+        valid = pc.is_valid(t[cols[0]])
+        for c in cols[1:]:
+            valid = pc.and_(valid, pc.is_valid(t[c]))
+        return valid
 
     @ray.remote
-    def map_side(cols: list[str], replicate: bool,
+    def map_side(cols: list[str], replicate: bool, bloom_bytes,
                  *tables: pa.Table) -> list[pa.Table]:
         good = [t for t in tables
                 if t.num_rows and all(c in t.schema.names for c in cols)]
@@ -419,20 +446,20 @@ def shuffle_hash_join(
             return [empty for _ in range(n_parts)]
         t = (pa.concat_tables(good).combine_chunks()
              if len(good) > 1 else good[0])
-        valid = pc.is_valid(t[cols[0]])
-        for c in cols[1:]:
-            valid = pc.and_(valid, pc.is_valid(t[c]))
+        valid = _valid_mask(t, cols)
         nulls = None
         if (how == "left" and not replicate) or how == "full":
             # outer sides keep null-key rows: route them all to one bucket
             # (they match nothing, the local join null-fills them)
             nulls = t.filter(pc.invert(valid))
         t = t.filter(valid)
-        h = hash64(t[cols[0]].combine_chunks())
-        for i, c in enumerate(cols[1:], start=1):
-            # mix composite keys: distinct odd multipliers then XOR
-            h = h ^ (hash64(t[c].combine_chunks())
-                     * np.uint64(0x9E3779B97F4A7C15 + 2 * i))
+        h = _mixed_hash(t, cols)
+        if bloom_bytes is not None:
+            from ..functions.sketches import BloomFilter
+
+            member = BloomFilter.from_bytes(bloom_bytes).contains(h)
+            t = t.filter(pa.array(member))
+            h = h[member]
         bucket = (h >> shift).astype(np.int64)
         if salt > 1 and not replicate:
             # round-robin sub-bucket: spreads a hot key's rows evenly and
@@ -496,11 +523,40 @@ def shuffle_hash_join(
         k = max(1, int(np.ceil(len(refs) / max_tasks)))
         return [refs[i:i + k] for i in range(0, len(refs), k)]
 
+    bloom_ref = None
+    if bloom_prefilter:
+        from ..functions.sketches import BloomFilter
+
+        @ray.remote
+        def tbl_len(t: pa.Table) -> int:
+            return t.num_rows
+
+        @ray.remote
+        def bloom_chunk(n_expected: int, *tables: pa.Table) -> bytes:
+            bf = BloomFilter(n_expected=n_expected, fp_rate=bloom_fp_rate)
+            for t in tables:
+                if t.num_rows and all(c in t.schema.names
+                                      for c in right_keys):
+                    tt = t.filter(_valid_mask(t, right_keys))
+                    bf.update(_mixed_hash(tt, right_keys))
+            return bf.to_bytes()
+
+        n_right = max(1, sum(ray.get([tbl_len.remote(r)
+                                      for r in right_refs])))
+        blobs = ray.get([bloom_chunk.remote(n_right, *c)
+                         for c in _chunks(right_refs)])
+        bf = BloomFilter.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            bf.merge(BloomFilter.from_bytes(b))
+        bloom_ref = ray.put(bf.to_bytes())
+
     left_maps = [
-        map_side.options(num_returns=n_parts).remote(left_keys, False, *c)
+        map_side.options(num_returns=n_parts).remote(
+            left_keys, False, bloom_ref, *c)
         for c in _chunks(left_refs)]
     right_maps = [
-        map_side.options(num_returns=n_parts).remote(right_keys, True, *c)
+        map_side.options(num_returns=n_parts).remote(
+            right_keys, True, None, *c)
         for c in _chunks(right_refs)]
     if n_parts == 1:
         left_maps = [[r] for r in left_maps]

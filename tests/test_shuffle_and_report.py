@@ -406,3 +406,37 @@ def test_recommend_join_salt():
     })).repartition(8)
     assert recommend_join_salt(flat, "k", num_buckets=8,
                                sample_frac=0.5) == 1
+
+
+def test_shuffle_hash_join_bloom_prefilter_equality():
+    """A Bloom-prefiltered inner join returns exactly the plain join's rows
+    (false positives only waste shuffle, never change output); outer modes
+    reject the option."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    rng = np.random.default_rng(3)
+    lt = pa.table({"k": pa.array(rng.integers(0, 10000, 5000), pa.int64()),
+                   "lv": pa.array(np.arange(5000), pa.int64())})
+    # selective right side: ~2% of left keys match
+    rt = pa.table({"rk": pa.array(np.arange(0, 200), pa.int64()),
+                   "rv": pa.array(np.arange(0, 200) * 7, pa.int64())})
+    plain = shuffle_hash_join(
+        ray.data.from_arrow(lt).repartition(4), "k",
+        ray.data.from_arrow(rt).repartition(2), "rk").to_pandas()
+    bloomed = shuffle_hash_join(
+        ray.data.from_arrow(lt).repartition(4), "k",
+        ray.data.from_arrow(rt).repartition(2), "rk",
+        bloom_prefilter=True).to_pandas()
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        plain[key].sort_values(key).reset_index(drop=True),
+        bloomed[key].sort_values(key).reset_index(drop=True))
+    with pytest.raises(ValueError, match="inner"):
+        shuffle_hash_join(ray.data.from_arrow(lt), "k",
+                          ray.data.from_arrow(rt), "rk",
+                          how="left", bloom_prefilter=True)
