@@ -3305,6 +3305,53 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_source_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / crosstab: doc counts per source (rows) × language (columns).
+    One in-batch (source, lang) count partial → key-only groupby-sum →
+    driver-side reshape of the |source|×|lang| count table (tiny by
+    construction — the corpus never reaches the driver). Unknown/null
+    langs fold into n_other so the column set is fixed at plan time, the
+    requirement for a distributed pivot."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas().fillna("(null)"),
+            "lang": t["lang"].to_pandas().fillna("(null)"),
+        })
+        df.loc[~df["lang"].isin(_PIVOT_LANGS), "lang"] = "other"
+        g = df.groupby(["source", "lang"], sort=False).size().rename(
+            "n").reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(dtype=object),
+                               pa.string()),
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    long = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wide = long.pivot_table(index="source", columns="lang", values="n",
+                            aggfunc="sum", fill_value=0)
+    for c in list(_PIVOT_LANGS) + ["other"]:
+        if c not in wide.columns:
+            wide[c] = 0
+    out = pd.DataFrame({"source": wide.index.to_numpy(dtype=object)})
+    for c in _PIVOT_LANGS:
+        out[f"n_{c}"] = wide[c].to_numpy(dtype=np.int64)
+    out["n_other"] = wide["other"].to_numpy(dtype=np.int64)
+    out["n_total"] = out[[f"n_{c}" for c in _PIVOT_LANGS]
+                         + ["n_other"]].sum(axis=1).astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def tdigest_by_lang_documents(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP TDigest quantiles (the quantile sibling of
     hll_by_lang_documents): each batch emits one (lang, serialized-digest)
@@ -3620,7 +3667,8 @@ def left_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
 def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     """Driver-facing merged gate for the window/relational family (the
     dedup_planted_gates consolidation pattern: ELEVEN oracle-backed
-    operators in one registry slot). Every sub-result is melted to a long
+    operators in one registry slot — twelve with the pivot). Every
+    sub-result is melted to a long
     (k, v:int64) frame — strings into the key, floats scaled to exact 1e-6
     units after the same ROUND(,6) both sides — so one dtype-sensitive
     value hash pins all eleven: ntile_deciles, lag_delta, rollup, corr,
@@ -3640,7 +3688,7 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     # jobs, and beyond ~3 concurrent streaming executors the scheduling/
     # exchange contention exceeds the overlap win (measured 9 s at 3 vs
     # 15-17 s at 7 vs 12 s sequential, sf0.1/32 CPUs)
-    (nt, lg, rl, co, so, md, cp, lj, ck, gh, gt) = _run_concurrent([
+    (nt, lg, rl, co, so, md, cp, lj, ck, gh, gt, pv) = _run_concurrent([
         lambda: ntile_deciles_documents(sf_dir),
         lambda: lag_delta_events(sf_dir),
         lambda: rollup_lang_source_documents(sf_dir),
@@ -3652,6 +3700,7 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         lambda: click_view_day_join_events(sf_dir),
         lambda: hll_by_lang_documents(sf_dir),
         lambda: tdigest_by_lang_documents(sf_dir),
+        lambda: pivot_source_lang_documents(sf_dir),
     ], max_workers=3)
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
                 "max_n_chars", "sum_doc_id"):
@@ -3688,6 +3737,8 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     kv("gtd", [f"{g}:p50" for g in gt["lang"]], gt["p50_exact"])
     kv("gtd", [f"{g}:ok" for g in gt["lang"]],
        gt["td_ok"].to_numpy(dtype=np.int64))
+    for col in [f"n_{c}" for c in _PIVOT_LANGS] + ["n_other", "n_total"]:
+        kv("pivot", [f"{sname}:{col}" for sname in pv["source"]], pv[col])
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("k").reset_index(drop=True)
 
@@ -3769,6 +3820,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_by_lang_documents": hll_by_lang_documents,
     "click_view_day_join_events": click_view_day_join_events,
     "tdigest_by_lang_documents": tdigest_by_lang_documents,
+    "pivot_source_lang_documents": pivot_source_lang_documents,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3812,6 +3864,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "pivot_source_lang_documents": "SELECT COALESCE(source, '(null)') AS source, COUNT(*) FILTER (lang = 'de') AS n_de, COUNT(*) FILTER (lang = 'en') AS n_en, COUNT(*) FILTER (lang = 'es') AS n_es, COUNT(*) FILTER (lang = 'fr') AS n_fr, COUNT(*) FILTER (lang = 'zh') AS n_zh, COUNT(*) FILTER (lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')) AS n_other, COUNT(*) AS n_total FROM documents GROUP BY 1 ORDER BY 1",
     "tdigest_by_lang_documents": (
         "SELECT COALESCE(lang, '(null)') AS lang, "
         "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_exact, "
@@ -4732,7 +4785,8 @@ _ALL_ORACLE_SQL["window_ops_gates"] = (
     "q_lj AS (" + _ALL_ORACLE_SQL["left_join_orders_lineitem"] + "), "
     "q_ck AS (" + _ALL_ORACLE_SQL["click_view_day_join_events"] + "), "
     "q_gh AS (" + _ALL_ORACLE_SQL["hll_by_lang_documents"] + "), "
-    "q_gt AS (" + _ALL_ORACLE_SQL["tdigest_by_lang_documents"] + ") "
+    "q_gt AS (" + _ALL_ORACLE_SQL["tdigest_by_lang_documents"] + "), "
+    "q_pv AS (" + _ALL_ORACLE_SQL["pivot_source_lang_documents"] + ") "
     "SELECT k, CAST(v AS BIGINT) AS v FROM ("
     + " UNION ALL ".join(
         [
@@ -4784,6 +4838,11 @@ _ALL_ORACLE_SQL["window_ops_gates"] = (
             "SELECT 'gtd:' || lang || ':p50', p50_exact FROM q_gt",
             "SELECT 'gtd:' || lang || ':ok', CAST(td_ok AS BIGINT) "
             "FROM q_gt",
+        ]
+        + [
+            "SELECT 'pivot:' || source || ':" + c + "', " + c + " FROM q_pv"
+            for c in [f"n_{x}" for x in _PIVOT_LANGS]
+            + ["n_other", "n_total"]
         ]
     )
     + ") ORDER BY k"
