@@ -632,3 +632,48 @@ def detect_skewed_keys(
         .head(top)
         .reset_index(drop=True)
     )
+
+
+def write_bucketed_by_key(
+    ds: ray.data.Dataset,
+    key_column: str,
+    out_dir: str,
+    *,
+    num_buckets: int = 64,
+) -> int:
+    """Materialize a dataset as a KEY-BUCKETED parquet table: hive
+    partition dirs ``bucket=<b>`` where ``b = hash64(key) >> (64-log2(B))``
+    — the same process-stable bucketing as ``shuffle_hash_join`` and
+    ``parquet_key_uniqueness``.
+
+    This is the "pick ONE partitioning key and reuse it" layout: any later
+    groupby/join/dedup on the same key can read one bucket directory at a
+    time and skip its all-to-all exchange entirely (equal keys are
+    guaranteed co-located in one bucket). Writes stream per block (many
+    files per bucket, never one giant file) so the sink is restartable per
+    bucket directory. Returns the bucket count actually used (rounded to a
+    power of two). Null keys go to bucket 0.
+    """
+    bits = max(1, int(np.ceil(np.log2(num_buckets))))
+    num_buckets = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int64()))
+        keys = t[key_column].combine_chunks()
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        b = np.zeros(len(t), dtype=np.int64)
+        if valid.any():
+            b[valid] = (hash64(keys.drop_null()) >> shift).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return num_buckets
+
+
+def read_key_bucket(out_dir: str, bucket: int) -> ray.data.Dataset:
+    """Read ONE bucket of a `write_bucketed_by_key` table (partition-pruned
+    at the directory level — other buckets' files are never opened)."""
+    return ray.data.read_parquet(f"{out_dir}/bucket={bucket}")

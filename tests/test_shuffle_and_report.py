@@ -440,3 +440,38 @@ def test_shuffle_hash_join_bloom_prefilter_equality():
         shuffle_hash_join(ray.data.from_arrow(lt), "k",
                           ray.data.from_arrow(rt), "rk",
                           how="left", bloom_prefilter=True)
+
+
+def test_write_bucketed_by_key_roundtrip(tmp_path):
+    """Key-bucketed sink: every key lands in exactly one bucket dir, a
+    single-bucket read returns only co-located keys, and the union of all
+    buckets is the input."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biosample_enricher_ray.functions.hashing import hash64
+    from biosample_enricher_ray.stages.shuffle import (
+        read_key_bucket,
+        write_bucketed_by_key,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{v}" for v in rng.integers(0, 300, 3000)]
+    t = pa.table({"key": pa.array(keys), "v": pa.array(np.arange(3000))})
+    out = str(tmp_path / "bucketed")
+    nb = write_bucketed_by_key(
+        ray.data.from_arrow(t).repartition(5), "key", out, num_buckets=8)
+    assert nb == 8
+    shift = np.uint64(64 - 3)
+    total = 0
+    for b in range(nb):
+        import os
+
+        if not os.path.isdir(f"{out}/bucket={b}"):
+            continue
+        part = read_key_bucket(out, b).to_pandas()
+        total += len(part)
+        got = (hash64(pa.array(part["key"].tolist(), pa.string()))
+               >> shift).astype(np.int64)
+        assert (got == b).all()  # co-location invariant
+    assert total == 3000
