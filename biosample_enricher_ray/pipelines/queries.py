@@ -1357,7 +1357,9 @@ def _planted_span_path(sf_dir: str, n: int = _SPAN_PLANT_N) -> str:
             "source": sel["source"],
             "n_chars": pa.array([len(p) for p in prefixes], pa.int64()),
         })
-        tmp = f"{out}.tmp.{os.getpid()}"
+        import threading
+
+        tmp = f"{out}.tmp.{os.getpid()}.{threading.get_ident()}"
         pq.write_table(
             pa.concat_tables([t.select(planted.column_names), planted]), tmp
         )
@@ -3107,7 +3109,12 @@ def lag_delta_events(sf_dir: str) -> pd.DataFrame:
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         dv = g["value"].diff().iloc[1:]
-        gap = g["ts"].astype("int64").diff().iloc[1:]
+        # explicit microsecond units: astype('int64') alone would yield
+        # whatever resolution pandas holds (ns on coercing conversion
+        # paths) — same guard as sessionize/asof
+        us = pd.Series(g["ts"].to_numpy(dtype="datetime64[us]")
+                       .astype(np.int64), index=g.index)
+        gap = us.diff().iloc[1:]
         if len(dv) == 0:
             return pd.DataFrame({
                 "user_id": pd.Series([], dtype="int64"),
@@ -3209,10 +3216,14 @@ def corr_value_hour_events(sf_dir: str) -> pd.DataFrame:
     corr = (n * sxy - sx * sy) / np.sqrt(
         (n * sxx - sx * sx) * (n * syy - sy * sy))
     covar = (sxy - sx * sy / n) / (n - 1)
+    # 4 dp, not 6: the one-pass moments and DuckDB's accumulation may
+    # differ in the ~13th significant digit; a 6th-decimal boundary flip
+    # would fail the exact hash. At 4 dp a flip needs a true value within
+    # 1e-13 of a .00005 boundary — negligible.
     return pd.DataFrame({
         "n": [int(n)],
-        "corr_value_hour": [round(float(corr), 6)],
-        "covar_value_hour": [round(float(covar), 6)],
+        "corr_value_hour": [round(float(corr), 4)],
+        "covar_value_hour": [round(float(covar), 4)],
     })
 
 
@@ -3352,7 +3363,8 @@ def pivot_source_lang_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
-def tdigest_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+def tdigest_by_lang_documents(sf_dir: str, *,
+                              overlap: bool = True) -> pd.DataFrame:
     """Per-GROUP TDigest quantiles (the quantile sibling of
     hll_by_lang_documents): each batch emits one (lang, serialized-digest)
     row per language present, a key-only groupby merges digests, and the
@@ -3431,7 +3443,10 @@ def tdigest_by_lang_documents(sf_dir: str) -> pd.DataFrame:
             .to_pandas()
         )
 
-    est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    if overlap:
+        est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    else:  # callers already running inside a thread fan-out
+        est_df, exact_df = sketch_side(), exact_side()
     est = dict(zip(est_df["lang"], est_df["p50_est"]))
     rows = []
     for lang, v in sorted(zip(exact_df["lang"],
@@ -3517,7 +3532,8 @@ def click_view_day_join_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
-def hll_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+def hll_by_lang_documents(sf_dir: str, *,
+                          overlap: bool = True) -> pd.DataFrame:
     """Per-GROUP HLL distinct — the grouped form of the A3 profile sketch:
     distinct texts per language without per-group exact sets. Each batch
     emits one (lang, registers) row per language present (p=12 → 4 KiB,
@@ -3593,7 +3609,10 @@ def hll_by_lang_documents(sf_dir: str) -> pd.DataFrame:
             .to_pandas()
         )
 
-    est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    if overlap:
+        est_df, exact_df = _run_concurrent([sketch_side, exact_side])
+    else:  # callers already running inside a thread fan-out
+        est_df, exact_df = sketch_side(), exact_side()
     est = dict(zip(est_df["lang"], est_df["est"]))
     rows = []
     for lang, n in sorted(zip(exact_df["lang"], exact_df["n"].astype(int))):
@@ -3687,7 +3706,9 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     # max_workers=3, not one-per-component: these are short shuffle-heavy
     # jobs, and beyond ~3 concurrent streaming executors the scheduling/
     # exchange contention exceeds the overlap win (measured 9 s at 3 vs
-    # 15-17 s at 7 vs 12 s sequential, sf0.1/32 CPUs)
+    # 15-17 s at 7 vs 12 s sequential, sf0.1/32 CPUs). The grouped-sketch
+    # components run their two halves sequentially here (overlap=False) so
+    # nested fan-outs cannot exceed the cap
     (nt, lg, rl, co, so, md, cp, lj, ck, gh, gt, pv) = _run_concurrent([
         lambda: ntile_deciles_documents(sf_dir),
         lambda: lag_delta_events(sf_dir),
@@ -3698,8 +3719,8 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         lambda: coalesce_profile_documents(sf_dir),
         lambda: left_join_orders_lineitem(sf_dir),
         lambda: click_view_day_join_events(sf_dir),
-        lambda: hll_by_lang_documents(sf_dir),
-        lambda: tdigest_by_lang_documents(sf_dir),
+        lambda: hll_by_lang_documents(sf_dir, overlap=False),
+        lambda: tdigest_by_lang_documents(sf_dir, overlap=False),
         lambda: pivot_source_lang_documents(sf_dir),
     ], max_workers=3)
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
@@ -3716,10 +3737,10 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
     kv("rollup", [f"{l}|{s}:n" for l, s in pairs], rl["n_rows"])
     kv("rollup", [f"{l}|{s}:s" for l, s in pairs], rl["sum_n_chars"])
     kv("corr", ["n"], co["n"])
-    kv("corr", ["corr_e6"],
-       np.round(co["corr_value_hour"].to_numpy() * 1e6).astype(np.int64))
-    kv("corr", ["covar_e6"],
-       np.round(co["covar_value_hour"].to_numpy() * 1e6).astype(np.int64))
+    kv("corr", ["corr_e4"],
+       np.round(co["corr_value_hour"].to_numpy() * 1e4).astype(np.int64))
+    kv("corr", ["covar_e4"],
+       np.round(co["covar_value_hour"].to_numpy() * 1e4).astype(np.int64))
     kv("setops", ["n_intersect", "n_click_only", "n_view_only"],
        [int(so["n_intersect"][0]), int(so["n_click_only"][0]),
         int(so["n_view_only"][0])])
@@ -3929,9 +3950,9 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "corr_value_hour_events": (
         "SELECT COUNT(*) AS n, "
-        "ROUND(CORR(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6) "
+        "ROUND(CORR(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 4) "
         "AS corr_value_hour, "
-        "ROUND(COVAR_SAMP(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6) "
+        "ROUND(COVAR_SAMP(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 4) "
         "AS covar_value_hour FROM events WHERE value IS NOT NULL"
     ),
     "set_ops_click_view_users": (
@@ -4811,9 +4832,9 @@ _ALL_ORACLE_SQL["window_ops_gates"] = (
             "SELECT 'rollup:' || lang || '|' || source || ':s', sum_n_chars "
             "FROM q_rollup",
             "SELECT 'corr:n', n FROM q_corr",
-            "SELECT 'corr:corr_e6', ROUND(corr_value_hour * 1000000) "
+            "SELECT 'corr:corr_e4', ROUND(corr_value_hour * 10000) "
             "FROM q_corr",
-            "SELECT 'corr:covar_e6', ROUND(covar_value_hour * 1000000) "
+            "SELECT 'corr:covar_e4', ROUND(covar_value_hour * 10000) "
             "FROM q_corr",
             "SELECT 'setops:n_intersect', n_intersect FROM q_set",
             "SELECT 'setops:n_click_only', n_click_only FROM q_set",

@@ -446,10 +446,13 @@ def semdedup(
     """
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    # one slim materialization shared by the Lloyd iterations AND the
-    # assignment pass (kmeans_distributed skips re-materializing)
-    ds = ds.select_columns([id_column, embedding_column]).materialize()
+    ds = ds.select_columns([id_column, embedding_column])
     if centroids is None:
+        # one slim materialization shared by the Lloyd iterations AND the
+        # assignment pass (kmeans_distributed skips re-materializing);
+        # with precomputed centroids the single assignment pass streams —
+        # materializing would be pure extra object-store pressure
+        ds = ds.materialize()
         centroids = kmeans_distributed(
             ds, n_clusters=n_clusters, iters=kmeans_iters,
             id_column=id_column, embedding_column=embedding_column,

@@ -135,7 +135,16 @@ def recommend_join_salt(
 
     if num_buckets is None:
         num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
-    hot = detect_skewed_keys(ds, key_column, top=1, sample_frac=sample_frac)
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[key_column]))
+
+    # null keys never shuffle (inner joins drop them; outer joins spread
+    # them round-robin), so a null-heavy column must not masquerade as a
+    # hot key; the total stays all-rows, which only under-salts
+    hot = detect_skewed_keys(
+        ds.map_batches(_drop_null, batch_format="pyarrow"),
+        key_column, top=1, sample_frac=sample_frac)
     if hot.empty:
         return 1
     # pass the raw read as `ds` where possible: count() is then a parquet
@@ -346,6 +355,7 @@ def shuffle_hash_join(
     how: str = "inner",
     bloom_prefilter: bool = False,
     bloom_fp_rate: float = 0.01,
+    bloom_n_expected: int | None = None,
 ) -> ray.data.Dataset:
     """General large×large equi-join producing joined rows — the
     missing fact⋈fact operator (round-3 VERDICT ask #6; reference analog J1,
@@ -476,7 +486,15 @@ def shuffle_hash_join(
             # right side: every sub-bucket of a bucket gets the full bucket
             parts = [parts[(b // salt) * salt] for b in range(n_parts)]
         if nulls is not None and nulls.num_rows:
-            parts[0] = pa.concat_tables([nulls, parts[0]])
+            # spread null-key rows across ALL parts (they match nothing, so
+            # any reducer can null-fill them) — pinning them to one part
+            # would make a null-heavy column a single-reducer hotspot
+            n = nulls.num_rows
+            step = -(-n // n_parts)
+            for b in range(n_parts):
+                chunk = nulls.slice(b * step, step)
+                if chunk.num_rows:
+                    parts[b] = pa.concat_tables([chunk, parts[b]])
         return parts
 
     @ray.remote
@@ -491,6 +509,16 @@ def shuffle_hash_join(
             rt = next((p for p in parts[n_left:]
                        if all(k in p.schema.names for k in right_keys)), None)
             if lt is None or rt is None:
+                if (rt is None and lefts and how in ("left", "full")) or (
+                        lt is None and rights and how == "full"):
+                    # outer semantics must keep these rows, but the empty
+                    # side left NO schema to null-fill from (row-based
+                    # filters emit schema-less blocks) — fail loudly
+                    # rather than silently dropping them
+                    raise ValueError(
+                        "outer join: the empty side carries no schema to "
+                        "null-fill from; produce it with schema-preserving "
+                        "(arrow-format) transforms")
                 return pa.table({})
             if lefts and how in ("left", "full"):
                 # left rows with an empty right side survive an outer
@@ -513,6 +541,33 @@ def shuffle_hash_join(
 
     left_refs = left_ds.to_arrow_refs()
     right_refs = right_ds.to_arrow_refs()
+
+    def _schema_empty_ref(d: ray.data.Dataset):
+        sch = d.schema(fetch_if_missing=True)
+        asch = getattr(sch, "base_schema", sch)
+        if not isinstance(asch, pa.Schema):
+            # pandas-block lineage: rebuild an arrow schema from the
+            # (names, numpy dtypes) pair the wrapper exposes
+            try:
+                asch = pa.schema([
+                    (n, pa.from_numpy_dtype(t))
+                    for n, t in zip(sch.names, asch.types)
+                ])
+            except (AttributeError, TypeError, pa.ArrowNotImplementedError):
+                return None
+        return ray.put(asch.empty_table())
+
+    # a ZERO-BLOCK side would make every join_bucket lose the surviving
+    # side's rows under outer semantics (no part carries the schema):
+    # synthesize one empty typed block so the outer join null-fills
+    if not right_refs and how in ("left", "full"):
+        r = _schema_empty_ref(right_ds)
+        if r is not None:
+            right_refs = [r]
+    if not left_refs and how == "full":
+        r = _schema_empty_ref(left_ds)
+        if r is not None:
+            left_refs = [r]
 
     def _chunks(refs: list) -> list[list]:
         # the exchange creates n_map_tasks x n_parts objects: coalesce
@@ -541,8 +596,11 @@ def shuffle_hash_join(
                     bf.update(_mixed_hash(tt, right_keys))
             return bf.to_bytes()
 
-        n_right = max(1, sum(ray.get([tbl_len.remote(r)
-                                      for r in right_refs])))
+        # sizing the filter needs the right row count; pass
+        # bloom_n_expected (e.g. from parquet metadata) to skip this
+        # per-block counting pass
+        n_right = bloom_n_expected or max(1, sum(ray.get(
+            [tbl_len.remote(r) for r in right_refs])))
         blobs = ray.get([bloom_chunk.remote(n_right, *c)
                          for c in _chunks(right_refs)])
         bf = BloomFilter.from_bytes(blobs[0])
@@ -675,5 +733,12 @@ def write_bucketed_by_key(
 
 def read_key_bucket(out_dir: str, bucket: int) -> ray.data.Dataset:
     """Read ONE bucket of a `write_bucketed_by_key` table (partition-pruned
-    at the directory level — other buckets' files are never opened)."""
-    return ray.data.read_parquet(f"{out_dir}/bucket={bucket}")
+    at the directory level — other buckets' files are never opened). A
+    bucket that received no rows yields an EMPTY dataset with the same
+    schema (hive writes create no dir for it) instead of raising."""
+    import os
+
+    path = f"{out_dir}/bucket={bucket}"
+    if os.path.isdir(path):
+        return ray.data.read_parquet(path)
+    return ray.data.read_parquet(out_dir).limit(0).drop_columns(["bucket"])

@@ -475,3 +475,33 @@ def test_write_bucketed_by_key_roundtrip(tmp_path):
                >> shift).astype(np.int64)
         assert (got == b).all()  # co-location invariant
     assert total == 3000
+
+
+def test_shuffle_hash_join_outer_empty_right_side():
+    """An all-rows-filtered right side must not swallow left rows under
+    outer semantics (pre-fix: 0 rows out). Schema-preserving (arrow) empty
+    blocks null-fill; a schema-LESS empty side (row-based filter output)
+    raises loudly instead of silently dropping rows."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import pytest
+
+    from biosample_enricher_ray.stages.shuffle import shuffle_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "lv": pa.array(["a", "b"])}))
+    right_typed = ray.data.from_blocks(
+        [pa.table({"rk": pa.array([7], pa.int64()),
+                   "rv": pa.array([70], pa.int64())})]).map_batches(
+        lambda t: t.filter(_pc.greater(t["rk"], 99)), batch_format="pyarrow")
+    got = shuffle_hash_join(left, "k", right_typed, "rk",
+                            how="left").to_pandas()
+    assert len(got) == 2 and got["rv"].isna().all()
+
+    right_schemaless = ray.data.from_blocks(
+        [pa.table({"rk": pa.array([7], pa.int64()),
+                   "rv": pa.array([70], pa.int64())})]).filter(
+        lambda r: False)
+    with pytest.raises(Exception, match="no schema"):
+        shuffle_hash_join(left, "k", right_schemaless, "rk",
+                          how="left").to_pandas()
