@@ -464,28 +464,35 @@ def md5_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def events_daily_counts(sf_dir: str) -> pd.DataFrame:
-    """Per-(event_type, day) count + rounded value sum (A5-style time rollup;
-    weather/providers/open_meteo.py:152-257)."""
+    """Per-(event_type, day) count + value sum (A5-style time rollup;
+    weather/providers/open_meteo.py:152-257). Values integerize per row at
+    1e-6 with the same floor-half-up formula on both sides, so group sums
+    are exact int64 and order-independent at any scale (rounded double
+    sums flip at the rounding boundary once groups are large — the q1
+    lesson from the sf0.1 oracle sweep)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def add_day(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": t["event_type"],
                 "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
-                "value": t["value"],
+                "value_e6": pa.array(
+                    np.where(np.isnan(v), 0,
+                             np.floor(v * 1e6 + 0.5)).astype(np.int64)),
             }
         )
 
     out = (
         ds.map_batches(add_day, batch_format="pyarrow")
         .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="_sum_value"))
+        .aggregate(Count(alias_name="n"),
+                   Sum("value_e6", alias_name="sum_value_e6"))
         .to_pandas()
     )
-    out["sum_value"] = out["_sum_value"].round(2)
-    out = out.drop(columns=["_sum_value"])
     out["n"] = out["n"].astype("int64")
+    out["sum_value_e6"] = out["sum_value_e6"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
@@ -495,7 +502,14 @@ def events_daily_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H-Q1-shaped grouped aggregate over lineitem (A1 matrix analog)."""
+    """TPC-H-Q1-shaped grouped aggregate over lineitem (A1 matrix analog).
+
+    Money sums run in exact integer cents / 1e-4-dollar units (the
+    part_stats/join_revenue pattern): at sf0.1 the double sums reach ~6e9
+    where float accumulation order can flip the 2-dp rounding run-to-run
+    (caught flaky by the sf0.1 oracle sweep) — integer sums are
+    order-independent at any scale, and the avg columns divide the SAME
+    exact integers on both sides."""
     cutoff = dt.datetime(1998, 9, 2)
     ds = _read(
         sf_dir, "lineitem",
@@ -505,14 +519,20 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc_price,
+                "qty": pa.array(t["l_quantity"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
+                "cents": pa.array(cents),
+                "disc_e4": pa.array(cents * (100 - disc)),
             }
         )
 
@@ -520,18 +540,20 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("cents", alias_name="sum_base_price_cents"),
+            Sum("disc_e4", alias_name="sum_disc_price_e4"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
-    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
-    out["count_order"] = out["count_order"].astype("int64")
+    for c in ("sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+              "count_order"):
+        out[c] = out[c].astype("int64")
+    out["avg_qty"] = (out["sum_qty"].astype("float64")
+                      / out["count_order"]).round(4)
+    out["avg_price"] = (out["sum_base_price_cents"].astype("float64")
+                        / 100.0 / out["count_order"]).round(4)
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -846,12 +868,14 @@ def union_event_halves(sf_dir: str) -> pd.DataFrame:
     u = a.union(b)
 
     def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        e6 = np.where(np.isnan(v), 0, np.floor(v * 1e6 + 0.5)).astype(np.int64)
         return pa.table({"n": pa.array([len(t)], pa.int64()),
-                         "sum_value": pa.array([pc.sum(t["value"]).as_py() or 0.0])})
+                         "sum_value_e6": pa.array([int(e6.sum())], pa.int64())})
 
-    agg = u.map_batches(partial, batch_format="pyarrow").sum(["n", "sum_value"])
+    agg = u.map_batches(partial, batch_format="pyarrow").sum(["n", "sum_value_e6"])
     return pd.DataFrame({"n": [int(agg["sum(n)"])],
-                         "sum_value": [round(agg["sum(sum_value)"], 2)]})
+                         "sum_value_e6": [int(agg["sum(sum_value_e6)"])]})
 
 
 def part_stats_by_brand(sf_dir: str) -> pd.DataFrame:
@@ -4070,17 +4094,26 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "events_daily_counts": (
         "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n, "
-        "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        "CAST(SUM(CASE WHEN value IS NULL THEN 0 ELSE "
+        "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) "
+        "AS sum_value_e6 FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "q1_pricing_summary": (
-        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_base_price_cents, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "(100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) "
+        "AS sum_disc_price_e4, "
         "COUNT(*) AS count_order, "
-        "ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty, "
-        "ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price "
+        "ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
+        "/ COUNT(*), 4) AS avg_qty, "
+        "ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
     ),
     "top10_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
@@ -4122,7 +4155,9 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ),
     "union_event_halves": (
-        "SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM ("
+        "SELECT COUNT(*) AS n, CAST(SUM(CASE WHEN value IS NULL THEN 0 "
+        "ELSE CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) END) AS BIGINT) "
+        "AS sum_value_e6 FROM ("
         "SELECT event_id, value FROM events WHERE event_id % 2 = 0 "
         "UNION ALL SELECT event_id, value FROM events WHERE event_id % 2 = 1)"
     ),
