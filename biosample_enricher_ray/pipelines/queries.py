@@ -6,8 +6,14 @@ oracle SQL produce identical column names and (after explicit rounding)
 identical values — the correctness gate compares row counts, schemas and
 order-insensitive value hashes.
 
-Float policy: every aggregated double is explicitly ROUND()ed the same way on
-both sides, because Ray and DuckDB sum in different orders.
+Float policy: sums that feed the hash run in exact INTEGER units wherever the
+values permit it — money as cents / 1e-4-dollar units, generic doubles via
+per-row deterministic integerization floor(x*1e6+0.5) with the IDENTICAL
+formula in engine and SQL — because rounding a float sum is order-dependent
+once sums are large (q1 at sf0.1 flipped its 2-dp rounding run-to-run).
+Rounded doubles remain only where the quantity is a bounded-magnitude ratio
+(corr, KS/PSI, averages of exact integer sums), where the rounding boundary
+sits ~1e-12 away from the value.
 """
 
 from __future__ import annotations
