@@ -385,6 +385,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "click_view_day_join_events",
         "tdigest_by_lang_documents",
         "pivot_source_lang_documents",
+        "unnest_tokens_documents",
     ]
     out = {}
     for name, fn in QUERIES.items():

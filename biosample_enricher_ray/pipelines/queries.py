@@ -3346,6 +3346,49 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def unnest_tokens_documents(sf_dir: str) -> pd.DataFrame:
+    """UNNEST / explode with ordinality — the row-expanding flat-map that
+    materializes (doc_id, pos, token) rows from a text column (the
+    tokenize-materialization step before postings/packing builds). Pure
+    streaming: list_flatten + list_parent_indices + an offsets-difference
+    arange give vectorized 1-based ordinals with no shuffle; empty tokens
+    are dropped AFTER ordinal assignment, mirroring generate_subscripts
+    over the raw split. Output bounded to doc_id < 20 on both sides (the
+    md5_documents capping pattern — at corpus scale the exploded rows
+    would feed a sink, never the driver)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                            ("token", pa.string())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 20))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        col = t["text"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            r"\s+",
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - offsets[parent].astype(np.int64) + 1)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+            "pos": pa.array(pos[keep]),
+            "token": flat.filter(pa.array(keep)),
+        })
+
+    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 _PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 
@@ -3872,6 +3915,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "click_view_day_join_events": click_view_day_join_events,
     "tdigest_by_lang_documents": tdigest_by_lang_documents,
     "pivot_source_lang_documents": pivot_source_lang_documents,
+    "unnest_tokens_documents": unnest_tokens_documents,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3915,6 +3959,15 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "unnest_tokens_documents": (
+        "WITH a AS (SELECT doc_id, "
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS arr "
+        "FROM documents WHERE doc_id < 20), "
+        "u AS (SELECT doc_id, unnest(arr) AS token, "
+        "generate_subscripts(arr, 1) AS pos FROM a) "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, token FROM u "
+        "WHERE length(token) > 0 ORDER BY doc_id, pos"
+    ),
     "pivot_source_lang_documents": "SELECT COALESCE(source, '(null)') AS source, COUNT(*) FILTER (lang = 'de') AS n_de, COUNT(*) FILTER (lang = 'en') AS n_en, COUNT(*) FILTER (lang = 'es') AS n_es, COUNT(*) FILTER (lang = 'fr') AS n_fr, COUNT(*) FILTER (lang = 'zh') AS n_zh, COUNT(*) FILTER (lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')) AS n_other, COUNT(*) AS n_total FROM documents GROUP BY 1 ORDER BY 1",
     "tdigest_by_lang_documents": (
         "SELECT COALESCE(lang, '(null)') AS lang, "
