@@ -386,6 +386,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "tdigest_by_lang_documents",
         "pivot_source_lang_documents",
         "unnest_tokens_documents",
+        "centroid_by_label_embeddings",
     ]
     out = {}
     for name, fn in QUERIES.items():

@@ -3346,6 +3346,54 @@ def mode_lang_by_source_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def centroid_by_label_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Grouped vector mean-pooling — per-label embedding centroids (the
+    class-centroid / prototype op of an embedding pipeline): each batch
+    contributes per-label element-wise (count, Σvec) partials via one
+    ``np.add.at`` scatter, a key-only groupby merges them, and the mean
+    divides exact integers. Elements integerize per value at 1e-6 with the
+    identical floor-half-up formula both sides, so sums are
+    order-independent at any scale (the same kmeans-partials shape,
+    oracle-checkable element-by-element)."""
+    from ..stages.ann import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"]).astype(np.float64)
+        e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)  # (n, d)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = e6.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, e6)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "sum_e6": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in ("label", "dim", "sum_e6", "n"):
+        out[c] = out[c].astype("int64")
+    # floor-half-up integer mean: sum_e6/n can land EXACTLY on a .5 of
+    # the 6th decimal (rational of ints), where python/numpy banker's
+    # rounding and SQL ROUND disagree — floor(x + 0.5) has no tie ambiguity
+    out["mean_e6"] = np.floor(
+        out["sum_e6"].to_numpy(dtype=np.float64) / out["n"].to_numpy()
+        + 0.5).astype(np.int64)
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def unnest_tokens_documents(sf_dir: str) -> pd.DataFrame:
     """UNNEST / explode with ordinality — the row-expanding flat-map that
     materializes (doc_id, pos, token) rows from a text column (the
@@ -3916,6 +3964,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "tdigest_by_lang_documents": tdigest_by_lang_documents,
     "pivot_source_lang_documents": pivot_source_lang_documents,
     "unnest_tokens_documents": unnest_tokens_documents,
+    "centroid_by_label_embeddings": centroid_by_label_embeddings,
     "ntile_deciles_documents": ntile_deciles_documents,
     "lag_delta_events": lag_delta_events,
     "rollup_lang_source_documents": rollup_lang_source_documents,
@@ -3959,6 +4008,16 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 _ALL_ORACLE_SQL: dict[str, str] = {
+    "centroid_by_label_embeddings": (
+        "WITH u AS (SELECT label, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+        "CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_e6, COUNT(*) AS n, "
+        "CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT)) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_e6 "
+        "FROM u GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "unnest_tokens_documents": (
         "WITH a AS (SELECT doc_id, "
         "regexp_split_to_array(lower(trim(text)), '\\s+') AS arr "
