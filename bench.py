@@ -526,6 +526,16 @@ def main() -> None:
         med_norm = median([p["host_normalized_efficiency"] for p in pairs])
         med_ceiling = median(
             [p["host_achievable_speedup_8_to_32"] for p in pairs])
+        # full pair history on its own line (and sidecar) so the final
+        # summary line stays well under the driver's 2000-char tail window
+        pairs_line = json.dumps({"pairs": pairs})
+        print(pairs_line)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_SCALING_PAIRS_LATEST.json"), "w") as f:
+                f.write(pairs_line + "\n")
+        except OSError:
+            pass
         print(json.dumps({
             # OFFICIAL number = the MEDIAN interleaved pair (unbiased under
             # host-weather noise; r2 ADVICE). Best pair + per-pair host
@@ -551,7 +561,7 @@ def main() -> None:
                         "weather window per pair); best pair and per-pair "
                         "ceilings disclosed; each leg is min-of-leg_repeat "
                         "timed runs",
-            "pairs": pairs,
+            "pairs_file": "BENCH_SCALING_PAIRS_LATEST.json",
         }))
         sys.stdout.flush()
         # hard exit: a leg child wedged in ray.shutdown must not keep the
@@ -598,17 +608,35 @@ def main() -> None:
             metric = ("pages constraint-suite validation wall time "
                       f"({headline['rows']} rows, full checks+profile+uniqueness)")
         queries = {} if headline_only else run_queries(sf_dir)
-        print(json.dumps({
+        # Per-query timings go on their OWN stdout line + a sidecar file;
+        # the FINAL line stays short (<2000 chars incl. trailing stderr) so
+        # the driver's tail capture always parses it (round-4 VERDICT #3:
+        # BENCH_r04's single giant line was truncated -> "parsed": null).
+        if queries:
+            detail_line = json.dumps({"queries": queries})
+            print(detail_line)
+            try:
+                with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_QUERIES_LATEST.json"), "w") as f:
+                    f.write(detail_line + "\n")
+            except OSError:
+                pass
+        summary = {
             "metric": metric,
             "value": round(headline["sec"], 3),
             "unit": "sec",
-            "queries": queries,
+            "queries": {},
             "sf": sf_dir,
             "num_cpus": ncpu,
             "rows": headline["rows"],
             "rows_per_sec": round(headline["rows_per_sec"], 1),
             "all_runs_sec": headline.get("all_runs_sec"),
-        }))
+        }
+        if queries:
+            summary["queries_total_sec"] = round(sum(queries.values()), 1)
+            summary["n_queries"] = len(queries)
+            summary["queries_file"] = "BENCH_QUERIES_LATEST.json"
+        print(json.dumps(summary))
         sys.stdout.flush()
     finally:
         _shutdown_and_exit()
