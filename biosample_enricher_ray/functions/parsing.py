@@ -28,6 +28,17 @@ import pyarrow.compute as pc
 
 NULLISH_TOKENS = ("", "null", "none", "n/a", "na", "unknown")
 
+
+def retrim(values: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """RE2 ``\\s`` edge-trim — the single trim definition shared with every
+    DuckDB oracle's ``regexp_replace(col, '^\\s+|\\s+$', '', 'g')``. Arrow
+    and DuckDB both compile ``\\s`` with RE2, so engine and SQL strip the
+    identical byte set; ``utf8_trim_whitespace`` (Unicode White_Space) and
+    DuckDB ``trim()`` (spaces only) each silently diverge on edge
+    tabs/newlines (ADVICE r4)."""
+    return pc.replace_substring_regex(values, pattern=r"^\s+|\s+$",
+                                      replacement="")
+
 _COORD_PATTERNS = (
     # "12.5 -7.25" / "12.5, -7.25"
     r"^\s*(?P<lat>[-+]?\d+(?:\.\d+)?)\s*[,\s]\s*(?P<lon>[-+]?\d+(?:\.\d+)?)\s*$",
@@ -82,7 +93,7 @@ def normalize_nullish(values: pa.Array | pa.ChunkedArray) -> pa.Array:
     unknown — case-insensitive) to null (metrics/aligner.py:236)."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(values)
+    trimmed = retrim(values)
     lowered = pc.utf8_lower(trimmed)
     nullish = pc.is_in(lowered, value_set=pa.array(NULLISH_TOKENS, pa.string()))
     return pc.if_else(pc.fill_null(nullish, True), pa.scalar(None, pa.string()),

@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .parsing import retrim
+
 # BPE-ish token pattern: words-with-apostrophes, numbers, or single non-space
 # symbols — the usual pre-tokenizer shape.
 TOKEN_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
@@ -35,7 +37,7 @@ def whitespace_token_count(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Tokens = runs of non-whitespace; '' and null → 0. Pure Arrow kernels."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+    trimmed = retrim(pc.fill_null(texts, ""))
     splits = pc.split_pattern_regex(trimmed, r"\s+")
     n = pc.list_value_length(splits)
     # ''.split(r'\s+') yields [''] → correct 0 via null/empty guard

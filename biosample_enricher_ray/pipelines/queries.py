@@ -57,6 +57,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# RE2 \s edge-trim — the SINGLE trim definition shared (by construction)
+# with every oracle's regexp_replace(text, '^\s+|\s+$', '', 'g'): Arrow and
+# DuckDB both compile \s with RE2, so engine and SQL strip the identical
+# byte set. (utf8_trim_whitespace strips the wider Unicode White_Space set
+# and DuckDB trim() strips spaces only — either choice silently diverges on
+# edge tabs/newlines; ADVICE r4.)
+from ..functions.parsing import retrim as _retrim  # noqa: E402
+
+
 def _install_fsspec_http_stub() -> None:
     """Make ``fsspec.implementations.http`` importable from threads.
 
@@ -396,7 +405,7 @@ def _word_count_batches(sf_dir: str) -> ray.data.Dataset:
     def wc(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
             pc.split_pattern_regex(
-                pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))),
+                pc.utf8_lower(_retrim(pc.fill_null(t["text"], ""))),
                 r"\s+",
             )
         ).combine_chunks()
@@ -2049,7 +2058,7 @@ def doc_freq_documents(sf_dir: str) -> pd.DataFrame:
         # would alias docs across chunks of a multi-chunk batch
         col = t["text"].combine_chunks()
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            pc.utf8_lower(_retrim(pc.fill_null(col, ""))),
             r"\s+",
         )
         flat = pc.list_flatten(toks)
@@ -2236,8 +2245,8 @@ def _q100_sql_ctes(passthrough: list[str]) -> str:
     return (
         f"f AS (SELECT {cols}, "
         "CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nc, "
-        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, "
+        "CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS ntok, "
         "len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS na, "
         "len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS np, "
         f"len(regexp_extract_all(lower(COALESCE(text, '')), '{stop_pat}')) AS ns "
@@ -2325,7 +2334,7 @@ def repetition_stats_documents(sf_dir: str) -> pd.DataFrame:
     def rep(t: pa.Table) -> pa.Table:
         col = t["text"].combine_chunks()
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            pc.utf8_lower(_retrim(pc.fill_null(col, ""))),
             r"\s+",
         )
         flat = pc.list_flatten(toks)
@@ -2426,7 +2435,7 @@ def tfidf_documents(sf_dir: str) -> pd.DataFrame:
     def tf_part(t: pa.Table) -> pa.Table:
         col = t["text"].combine_chunks()
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            pc.utf8_lower(_retrim(pc.fill_null(col, ""))),
             r"\s+",
         )
         flat = pc.list_flatten(toks)
@@ -2494,7 +2503,7 @@ def _batch_bigrams(t: pa.Table) -> tuple[np.ndarray, pa.Array]:
     splice non-adjacent tokens together."""
     col = t["text"].combine_chunks()
     toks = pc.split_pattern_regex(
-        pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+        pc.utf8_lower(_retrim(pc.fill_null(col, ""))),
         r"\s+",
     )
     flat = pc.list_flatten(toks)
@@ -3225,7 +3234,10 @@ def corr_value_hour_events(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def moments(t: pa.Table) -> pa.Table:
-        keep = pc.is_valid(t["value"])
+        # both coordinates must be non-null: DuckDB's CORR/COVAR_SAMP skip
+        # null PAIRS, and a null ts would otherwise become a NaN hour that
+        # poisons every moment sum (ADVICE r4)
+        keep = pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"]))
         x = t["value"].filter(keep).to_numpy(zero_copy_only=False)
         y = pc.hour(t["ts"].filter(keep)).to_numpy(
             zero_copy_only=False).astype(np.float64)
@@ -3414,7 +3426,7 @@ def unnest_tokens_documents(sf_dir: str) -> pd.DataFrame:
             return out_schema.empty_table()
         col = t["text"].combine_chunks()
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, ""))),
+            pc.utf8_lower(_retrim(pc.fill_null(col, ""))),
             r"\s+",
         )
         flat = pc.list_flatten(toks)
@@ -4020,7 +4032,11 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "unnest_tokens_documents": (
         "WITH a AS (SELECT doc_id, "
-        "regexp_split_to_array(lower(trim(text)), '\\s+') AS arr "
+        # regexp trim, not trim(): DuckDB trim() strips spaces only, while
+        # the engine trims regex \s — edge tabs/newlines would leave an
+        # empty first split element in SQL that shifts the ordinals (ADVICE r4)
+        "regexp_split_to_array(lower(regexp_replace(text, "
+        "'^\\s+|\\s+$', '', 'g')), '\\s+') AS arr "
         "FROM documents WHERE doc_id < 20), "
         "u AS (SELECT doc_id, unnest(arr) AS token, "
         "generate_subscripts(arr, 1) AS pos FROM a) "
@@ -4188,8 +4204,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "GROUP BY 1 ORDER BY 1"
     ),
     "token_count_documents": (
-        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "SELECT doc_id, CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
         "FROM documents ORDER BY doc_id"
     ),
     "md5_documents": (
@@ -4198,15 +4214,15 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "word_freq_documents": (
         "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
-        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
-        "FROM documents WHERE text IS NOT NULL AND trim(text) != '') "
+        "SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != '') "
         "WHERE word != '' GROUP BY word ORDER BY n DESC, word LIMIT 50"
     ),
     "heavy_hitters_gate_documents": (
         "SELECT word, n_exact, TRUE AS hh_ok FROM ("
         "SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ("
-        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
-        "FROM documents WHERE text IS NOT NULL AND trim(text) != '') "
+        "SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != '') "
         "WHERE word != '' GROUP BY word ORDER BY n_exact DESC, word LIMIT 10) "
         "ORDER BY word"
     ),
@@ -4323,7 +4339,7 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "  UNION ALL SELECT 'not_null:warc_ts', COUNT(*) FILTER (WHERE warc_ts IS NULL),"
         "    (SELECT n FROM tot) FROM pages"
         "  UNION ALL SELECT 'not_empty:text',"
-        "    COUNT(*) FILTER (WHERE text IS NULL OR trim(text) = ''),"
+        "    COUNT(*) FILTER (WHERE text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''),"
         "    (SELECT n FROM tot) FROM pages"
         "  UNION ALL SELECT 'url_format', COUNT(*) FILTER (WHERE url IS NOT NULL AND"
         "    NOT regexp_matches(url, '^https?://[A-Za-z0-9.-]+(:\\d+)?(/[^\\s]*)?$')),"
@@ -4406,9 +4422,9 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     "doc_freq_documents": (
         "SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM ("
         "SELECT DISTINCT doc_id, word FROM ("
-        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), "
         "'\\s+')) AS word FROM documents "
-        "WHERE text IS NOT NULL AND trim(text) != '') WHERE word != '') "
+        "WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != '') WHERE word != '') "
         "GROUP BY word ORDER BY df DESC, word LIMIT 50"
     ),
     "quantiles_by_lang_documents": (
@@ -4424,8 +4440,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         # negatives, so every eligible planted doc must flag contaminated
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS contaminated "
         "FROM (SELECT doc_id FROM documents "
-        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "WHERE CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END >= 32 "
         "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
     ),
     "shard_assign_documents": (
@@ -4442,8 +4458,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "repetition_stats_documents": (
         "WITH toks AS (SELECT doc_id, COALESCE(lang, '?') AS lang, "
-        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
-        "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+        "unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''), "
         "pw AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM toks "
         "WHERE word != '' GROUP BY doc_id, lang, word), "
         "per AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens, "
@@ -4477,8 +4493,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "tfidf_documents": (
         "WITH toks AS (SELECT doc_id, "
-        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
-        "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+        "unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS word "
+        "FROM documents WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''), "
         "tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
         "FROM toks WHERE word != '' GROUP BY doc_id, word), "
         "df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf "
@@ -4487,8 +4503,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "ORDER BY (tf.tf * 1.0) / df.df DESC, tf.doc_id, tf.word LIMIT 50"
     ),
     "pack_sequences_documents": (
-        "WITH tc AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = "
-        "'' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+        "WITH tc AS (SELECT doc_id, CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = "
+        "'' THEN 0 ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
         "AS n_tokens FROM documents), "
         "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
@@ -4504,9 +4520,10 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "tot.total_sequences FROM c, tot WHERE doc_id < 200 ORDER BY doc_id"
     ),
     "bigram_lm_score_documents": (
-        "WITH arrs AS (SELECT doc_id, regexp_split_to_array(lower(trim("
-        "text)), '\\s+') AS a FROM documents "
-        "WHERE text IS NOT NULL AND trim(text) != ''), "
+        "WITH arrs AS (SELECT doc_id, regexp_split_to_array(lower("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS a "
+        "FROM documents "
+        "WHERE text IS NOT NULL AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''), "
         "bi AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], "
         "a[2:len(a)])) AS z FROM arrs WHERE len(a) >= 2), "
         "bg AS (SELECT doc_id, z[1] || ' ' || z[2] AS bigram FROM bi), "
@@ -4545,12 +4562,12 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "coalesce_profile_documents": (
         "SELECT COALESCE("
-        "NULLIF(CASE WHEN lower(trim(lang)) IN "
+        "NULLIF(CASE WHEN lower(regexp_replace(lang, '^\\s+|\\s+$', '', 'g')) IN "
         "('', 'null', 'none', 'n/a', 'na', 'unknown') THEN NULL "
-        "ELSE trim(lang) END, ''), "
-        "CASE WHEN lower(trim(source)) IN "
+        "ELSE regexp_replace(lang, '^\\s+|\\s+$', '', 'g') END, ''), "
+        "CASE WHEN lower(regexp_replace(source, '^\\s+|\\s+$', '', 'g')) IN "
         "('', 'null', 'none', 'n/a', 'na', 'unknown') THEN NULL "
-        "ELSE trim(source) END, 'unknown') AS picked, "
+        "ELSE regexp_replace(source, '^\\s+|\\s+$', '', 'g') END, 'unknown') AS picked, "
         "COUNT(*) AS n FROM documents GROUP BY picked ORDER BY picked"
     ),
     "props_key_profile_events": (
@@ -4641,15 +4658,15 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(doc_id + 1000000 AS BIGINT) AS span_id, TRUE AS found "
         "FROM (SELECT doc_id FROM documents "
-        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "WHERE CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END >= 32 "
         "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
     ),
     "decontaminate_planted_documents": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS contaminated "
         "FROM (SELECT doc_id FROM documents "
-        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "WHERE CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END >= 32 "
         "ORDER BY doc_id LIMIT 25) ORDER BY doc_id"
     ),
     "hll_error_documents": (
@@ -4666,7 +4683,7 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     # all-ASCII corpus; ratio = exact-integer division → identical doubles).
     "ngram_jaccard_pairs_documents": (
         "WITH sel AS ("
-        "  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks"
+        "  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks"
         "  FROM documents ORDER BY doc_id LIMIT 40"
         "), num AS ("
         "  SELECT doc_id, toks, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn"
@@ -4795,8 +4812,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     ),
     "scalar_kernels_documents": (
         "SELECT doc_id, md5(text) AS md5_text, "
-        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"
     ),
     # Every planted dedup gate in one verdict table; each gate's expected
@@ -4805,8 +4822,8 @@ _ALL_ORACLE_SQL: dict[str, str] = {
     "dedup_planted_gates": (
         "WITH p50 AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50), "
         "p25 AS (SELECT doc_id FROM documents "
-        "WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 32 "
+        "WHERE CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END >= 32 "
         "ORDER BY doc_id LIMIT 25), "
         "e50 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50) "
         "SELECT gate, CAST(doc_id AS BIGINT) AS doc_id, "

@@ -348,7 +348,13 @@ def kmeans_distributed(
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    if not isinstance(ds, MaterializedDataset):
+    # re-materialize even an already-materialized input when it carries
+    # EXTRA columns: the Lloyd iterations would otherwise stream full-width
+    # rows every pass (ADVICE r4) — the slim check is on the column set,
+    # not the dataset type
+    _cols = set(ds.schema(fetch_if_missing=True).names)
+    if (not isinstance(ds, MaterializedDataset)
+            or _cols != {id_column, embedding_column}):
         ds = ds.select_columns([id_column, embedding_column]).materialize()
     mult, mod = np.uint64(2654435761 + 2 * seed), np.uint64(4294967296)
 

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.parsing import retrim
+
 from ..functions.hashing import extract_domain
 
 OBSERVED_MAX_LEN = 64
@@ -100,7 +102,7 @@ class NotEmptyCheck(RowCheck):
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             empty = pc.equal(pc.binary_length(col), 0)
         else:
-            empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(col)), 0)
+            empty = pc.equal(pc.utf8_length(retrim(col)), 0)
         return _as_bool_array(pc.or_kleene(pc.is_null(col), pc.fill_null(empty, True)))
 
 

@@ -60,6 +60,11 @@ from ..functions.hashing import (
 #   re-scannable source (a parquet read), not an expensive derived pipeline.
 
 
+# per-WORKER-process memo for deserialized broadcast Bloom filters (keyed by
+# broadcast ref; cleared on ref change so at most one filter is ever live)
+_BF_WORKER_CACHE: dict = {}
+
+
 def _source_paths(src) -> list[str] | None:
     if isinstance(src, (list, tuple)) and all(isinstance(p, str) for p in src):
         return sorted(src)
@@ -1825,13 +1830,7 @@ def benchmark_span_overlap(
     else:
         raise ValueError(f"unknown method {method!r} (want 'set' or 'bloom')")
 
-    # closure dict pickled with the flag fn: each map TASK unpickles its own
-    # copy, so this memoizes per task (per block), not per worker process —
-    # still saves the per-batch deserialize within multi-batch tasks
-    _bf_memo: dict = {}
-
     def flag(t: pa.Table) -> pa.Table:
-        bside = ray.get(bench_ref)
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_overlap": pa.array([], pa.int64())})
         if len(t) == 0:
@@ -1843,13 +1842,21 @@ def benchmark_span_overlap(
         if vals.size == 0:
             return empty
         if method == "bloom":
-            from ..functions.sketches import BloomFilter
-
-            bf = _bf_memo.get("bf")
+            # TRUE per-worker memo (module-level, keyed by the broadcast
+            # ref): every task in the worker process reuses one deserialized
+            # filter — a closure dict would be re-pickled per task and only
+            # memoize within one task (VERDICT r4 #10)
+            key = bench_ref.hex()
+            bf = _BF_WORKER_CACHE.get(key)
             if bf is None:
-                bf = _bf_memo["bf"] = BloomFilter.from_bytes(bside)
+                from ..functions.sketches import BloomFilter
+
+                _BF_WORKER_CACHE.clear()  # one live filter; stays bounded
+                bf = BloomFilter.from_bytes(ray.get(bench_ref))
+                _BF_WORKER_CACHE[key] = bf
             hit = bf.contains(vals)
         else:
+            bside = ray.get(bench_ref)  # zero-copy shared-memory numpy view
             pos = np.clip(np.searchsorted(bside, vals), 0, bside.size - 1)
             hit = bside[pos] == vals
         if not hit.any():

@@ -136,23 +136,30 @@ def recommend_join_salt(
     if num_buckets is None:
         num_buckets = max(4, int(ray.cluster_resources().get("CPU", 4)))
 
-    def _drop_null(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t[key_column]))
+    # ONE sampling pass yields both the hot-key count and the valid-key
+    # total (ratio of same-sample estimates — sample_frac cancels). Null
+    # keys never shuffle (inner joins drop them; outer joins spread them
+    # round-robin), so they are excluded from BOTH numerator and
+    # denominator; no ds.count() (which re-executes non-trivial lineage
+    # and, over all rows incl. nulls, under-salts null-heavy columns).
+    sample = ds.select_columns([key_column]).random_sample(
+        sample_frac, seed=17)
 
-    # null keys never shuffle (inner joins drop them; outer joins spread
-    # them round-robin), so a null-heavy column must not masquerade as a
-    # hot key; the total stays all-rows, which only under-salts
-    hot = detect_skewed_keys(
-        ds.map_batches(_drop_null, batch_format="pyarrow"),
-        key_column, top=1, sample_frac=sample_frac)
-    if hot.empty:
+    def vc(t: pa.Table) -> pa.Table:
+        c = (t[key_column].combine_chunks().drop_null().value_counts())
+        return pa.table({key_column: c.field("values"), "n": c.field("counts")})
+
+    counts = (
+        sample.map_batches(vc, batch_format="pyarrow")
+        .groupby(key_column).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if counts.empty:
         return 1
-    # pass the raw read as `ds` where possible: count() is then a parquet
-    # metadata lookup, not an execution
-    total = ds.count()
+    total = float(counts["n"].sum())
     if total <= 0:
         return 1
-    hot_share = float(hot["est_total"].iloc[0]) / float(total)
+    hot_share = float(counts["n"].max()) / total
     fair_share = 1.0 / num_buckets
     if hot_share <= fair_share:
         return 1
@@ -603,10 +610,13 @@ def shuffle_hash_join(
             [tbl_len.remote(r) for r in right_refs])))
         blobs = ray.get([bloom_chunk.remote(n_right, *c)
                          for c in _chunks(right_refs)])
-        bf = BloomFilter.from_bytes(blobs[0])
-        for b in blobs[1:]:
-            bf.merge(BloomFilter.from_bytes(b))
-        bloom_ref = ray.put(bf.to_bytes())
+        if blobs:
+            bf = BloomFilter.from_bytes(blobs[0])
+            for b in blobs[1:]:
+                bf.merge(BloomFilter.from_bytes(b))
+            bloom_ref = ray.put(bf.to_bytes())
+        # else: zero-block right side — skip the bloom (nothing to filter
+        # against); the bucket path below already yields the empty result
 
     left_maps = [
         map_side.options(num_returns=n_parts).remote(
