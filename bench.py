@@ -86,7 +86,8 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
             while f.read(1 << 24):
                 pass
 
-    n_blocks = max(len(paths), concurrency)
+    conc_hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    n_blocks = max(len(paths), conc_hi)
 
     def one_run() -> tuple[float, "object"]:
         checks = shrunk_pages_checks(
@@ -101,9 +102,16 @@ def run_headline(corpus_dir: str, concurrency: int, *, steady_state: bool = Fals
         result = validate_dataset(
             # batch_size=None: whole zero-copy blocks (html already shrunk at
             # the scan, so giant-row pressure is gone and re-batching copies
-            # are pure overhead — same finding as the scaling job)
+            # are pure overhead — same finding as the scaling job).
+            # stage_mode tasks: at 400k rows the ~2.5 s actor-pool spin-up
+            # exceeds the validator compute itself; tasks start instantly on
+            # the session's long-lived workers (A/B knob below).
+            # stage_mode tasks measured WORSE (6.1-7.7 vs 4.3-5.4 s, 3
+            # same-window pairs): the pool's pinned-block prefetch beats
+            # instant task startup even at 400k rows. Knob kept for A/B.
             ds, checks, shrunk_pages_profile(), batch_size=None,
             concurrency=concurrency, uniqueness_paths=paths,
+            stage_mode=os.environ.get("GRAFT_HEADLINE_STAGE_MODE", "actors"),
         )
         return time.time() - t0, result
 
@@ -602,8 +610,19 @@ def main() -> None:
             metric = ("pages validate+fingerprint pipeline wall time "
                       f"({headline['rows']} rows, checks+profile+uniqueness+minhash+simhash)")
         else:
+            # pool-size sweep at 32 CPUs, 2 same-window rounds (min-of-2
+            # legs): 8 actors {2.37, 3.34} s, 16 {2.85, 3.30}, 28 {5.03,
+            # 5.90} — validator compute is ~1.4 core-s for 400k rows, so a
+            # big pool only adds startup; 8 is the measured sweet spot
+            conc_env = os.environ.get("GRAFT_HEADLINE_CONC", "")
+            if conc_env == "auto":
+                conc = (2, max(2, ncpu - 4))
+            elif conc_env:
+                conc = int(conc_env)
+            else:
+                conc = max(2, min(8, ncpu - 4))
             headline = run_headline(
-                corpus_dir, concurrency=max(2, ncpu - 4), steady_state=steady_state
+                corpus_dir, concurrency=conc, steady_state=steady_state
             )
             metric = ("pages constraint-suite validation wall time "
                       f"({headline['rows']} rows, full checks+profile+uniqueness)")

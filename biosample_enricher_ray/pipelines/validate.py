@@ -222,6 +222,7 @@ def records_dataset(
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] | None = None,
     path_column: str | None = PATH_COLUMN,
+    stage_mode: str = "actors",
 ) -> ray.data.Dataset:
     """Lazy record stream (violations + stats + sketches) for a pages Dataset.
 
@@ -242,14 +243,30 @@ def records_dataset(
         import ray
 
         concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
-    rec = ds.map_batches(
-        Validator,
-        fn_constructor_kwargs=dict(checks=checks, profile=profile,
-                                   path_column=path_column),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if stage_mode == "tasks":
+        # task-stage variant: Validator setup is a suite compile + zero-copy
+        # ray.get of the broadcast dims (~ms), so taskify's per-worker memo
+        # makes tasks start instantly on the session's long-lived workers —
+        # skipping the ~2.5 s actor-pool spin-up that dominates small-corpus
+        # invocations. Actor mode stays the default: pinned-actor block
+        # prefetch wins on multi-GB inputs (measured round 4).
+        from ..stages import taskify
+
+        rec = ds.map_batches(
+            taskify(Validator, checks=checks, profile=profile,
+                    path_column=path_column),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        rec = ds.map_batches(
+            Validator,
+            fn_constructor_kwargs=dict(checks=checks, profile=profile,
+                                       path_column=path_column),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     if profile is not None:
         # in-plane combiner: collapse per-batch sketch partials per
         # (partition, column) before they reach the driver's final merge —
@@ -381,6 +398,7 @@ def validate_dataset(
     path_column: str | None = PATH_COLUMN,
     max_violations_per_check: int | None = None,
     violations_path: str | None = None,
+    stage_mode: str = "actors",
 ) -> ValidationResult:
     """One-shot validation of a Dataset: row checks + profile + uniqueness.
 
@@ -400,7 +418,8 @@ def validate_dataset(
     checks = checks if checks is not None else default_pages_checks()
     result = summarize_records(
         records_dataset(ds, checks, profile, batch_size=batch_size,
-                        concurrency=concurrency, path_column=path_column),
+                        concurrency=concurrency, path_column=path_column,
+                        stage_mode=stage_mode),
         max_violations_per_check=max_violations_per_check,
         violations_path=violations_path,
     )

@@ -23,8 +23,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.parsing import retrim
-
 from ..functions.hashing import extract_domain
 
 OBSERVED_MAX_LEN = 64
@@ -102,7 +100,12 @@ class NotEmptyCheck(RowCheck):
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             empty = pc.equal(pc.binary_length(col), 0)
         else:
-            empty = pc.equal(pc.utf8_length(retrim(col)), 0)
+            # empty-after-\s-trim ⟺ contains no \S: RE2 stops at the first
+            # non-whitespace byte (~O(1)/row) instead of rewriting the whole
+            # string — this was the suite's single hottest kernel (2.4 µs/row
+            # of a 9.6 µs/row total). Same \s set as the oracle's
+            # regexp_replace-trim (see functions.parsing.retrim).
+            empty = pc.invert(pc.match_substring_regex(col, r"\S"))
         return _as_bool_array(pc.or_kleene(pc.is_null(col), pc.fill_null(empty, True)))
 
 
