@@ -499,6 +499,7 @@ def _dup_frame_to_violations(
             "expected": pa.array(["count=1"] * n, pa.string()),
             "fragment_id": pa.nulls(n, pa.string()),
             "partition_id": pa.array(["__global__"] * n, pa.string()),
+            "kind": pa.nulls(n, pa.string()),
         },
         schema=VIOLATIONS_SCHEMA,
     )

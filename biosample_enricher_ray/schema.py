@@ -50,6 +50,10 @@ VIOLATIONS_SCHEMA = pa.schema(
         pa.field("expected", pa.string()),
         pa.field("fragment_id", pa.string()),
         pa.field("partition_id", pa.string()),
+        # 'error' for per-check kernel-exception captures (the reference's
+        # error-Observation semantics, elevation/service.py:246-279); null
+        # for ordinary constraint violations.
+        pa.field("kind", pa.string()),
     ]
 )
 

@@ -31,6 +31,8 @@ is new scope per the round-3 training-pipeline brief.
 
 from __future__ import annotations
 
+import glob as _glob
+
 import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
@@ -39,8 +41,20 @@ import ray
 from ..functions.textstats import whitespace_token_count
 
 
-def _row_group_fragments(path: str) -> list[tuple[str, int]]:
-    """(path, row_group_index) work units in file/row-group order."""
+def _row_group_fragments(path: "str | list[str]") -> list[tuple[str, int]]:
+    """(path, row_group_index) work units in file/row-group order.
+
+    ``path`` may be a single parquet file, a directory, a glob pattern, or an
+    explicit list of files — a real sharded corpus is thousands of files, and
+    the prefix-sum design is indifferent: a fragment is simply
+    (file, row_group) and the canonical order is files sorted by path, then
+    row groups in file order (the doc_id range-interleave assert below still
+    guards the pack order across ALL files).
+    """
+    if isinstance(path, str) and any(c in path for c in "*?["):
+        path = sorted(_glob.glob(path))
+        if not path:
+            raise FileNotFoundError(f"pack input glob matched no files")
     dataset = pads.dataset(path, format="parquet")
     units: list[tuple[str, int]] = []
     for frag in sorted(dataset.get_fragments(), key=lambda f: f.path):
@@ -109,7 +123,7 @@ def _phase2_spans(path: str, row_group: int, text_column: str,
 
 
 def packed_sequence_spans(
-    path: str,
+    path: "str | list[str]",
     *,
     seq_len: int,
     text_column: str = "text",
@@ -119,7 +133,9 @@ def packed_sequence_spans(
     """Assign every document its packed-sequence span; return
     ``(per_doc_spans, total_sequences)``.
 
-    ``id_cap`` bounds the *returned* frame (a reporting gate wants the first
+    ``path`` accepts a file, directory, glob, or list of files (sharded
+    corpus); spans are identical to packing the concatenated corpus as one
+    file. ``id_cap`` bounds the *returned* frame (a reporting gate wants the first
     N docs, not 10^12 rows); the scan itself always covers the corpus. At
     production scale phase 2 would ``write_parquet`` per row-group instead
     of returning frames — the driver only ever holds O(row-groups) scalars

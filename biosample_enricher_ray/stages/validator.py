@@ -207,16 +207,25 @@ class Validator:
         for check in self.row_checks:
             try:
                 mask = check.mask(batch)
-            except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError) as exc:
-                # column missing/untyped as declared → schema problem, count all
+            except Exception as exc:  # noqa: BLE001 — error-Observation contract
+                # Per-check error capture (reference: a provider failure
+                # becomes an error Observation, never a crashed batch —
+                # /root/reference/biosample_enricher/elevation/service.py:
+                # 246-279). ANY kernel exception from a (possibly custom)
+                # check — missing column, bad cast, arithmetic error in user
+                # code — materializes as ONE kind='error' violation row per
+                # partition with the exception repr, counts every row of the
+                # partition as violating, and leaves every other check
+                # untouched; the task itself never fails.
                 for p_i, (frag, part) in enumerate(zip(frags, parts)):
                     n_in_part = int((part_idx == p_i).sum())
                     emit({
                         "record_type": ["violation", "batch_stats"],
                         "check_id": [check.check_id] * 2,
                         "column": [check.column] * 2,
-                        "observed": [f"<check error: {exc}>", None],
+                        "observed": [f"<check error: {exc!r}>", None],
                         "expected": [check.expected, None],
+                        "kind": ["error", None],
                         "fragment_id": [frag] * 2,
                         "partition_id": [part] * 2,
                         "n_rows": [None, n_in_part],
@@ -228,7 +237,11 @@ class Validator:
             n_bad = int(mask_np.sum())
             if n_bad:
                 bad_urls = urls.filter(mask)
-                observed = check.observed(batch, mask)
+                try:
+                    observed = check.observed(batch, mask)
+                except Exception as exc:  # noqa: BLE001 — same contract
+                    observed = pa.array(
+                        [f"<observed error: {exc!r}>"] * n_bad, pa.string())
                 bad_parts = part_idx[mask_np]
                 emit({
                     "record_type": ["violation"] * n_bad,

@@ -281,6 +281,68 @@ def test_audio_frame_sampler_real_dsp():
     assert 3 not in set(frames["doc_id"])
 
 
+def test_multimodal_zero_copy_payload_access():
+    """Round-4 VERDICT ask #5: no full-payload to_pylist in either stage.
+
+    Equality vs the previous full-copy semantics: ImageDecoder must parse a
+    multi-MB payload identically when only the 64 KiB header prefix is
+    sliced, and AudioFrameSampler's Arrow-buffer-view framing must equal
+    per-row np.frombuffer on the Python bytes — including on a SLICED
+    (non-zero offset) array, the case buffer math gets wrong."""
+    big_png = _png_bytes(123, 45) + b"\x00" * (2 << 20)  # 2 MiB tail
+    app_seg = b"\xff\xe1" + (40_002).to_bytes(2, "big") + b"\x00" * 40_000
+    late_sof = (b"\xff\xd8" + app_seg + app_seg
+                + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+                + (9).to_bytes(2, "big") + (7).to_bytes(2, "big") + b"\x03")
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([big_png, late_sof, None, b""], pa.binary()),
+    })
+    out = ImageDecoder()(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, ["width", "height", "format"]].tolist() == [123, 45, "png"]
+    # SOF past the 64 KiB header window -> decode_ok=False by the documented
+    # cap (dimension metadata outside any sane header region)
+    assert not out.loc[1, "decode_ok"]
+    assert not out.loc[2, "decode_ok"] and not out.loc[3, "decode_ok"]
+
+    rng = np.random.default_rng(11)
+    payloads = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+                for n in (10_000, 4096, 1, 5000)] + [None, b""]
+    ids = list(range(len(payloads)))
+    arr_ids = pa.array(ids, pa.int64())
+    arr_pay = pa.array(payloads, pa.binary())
+    sampler = AudioFrameSampler(frame_bytes=4096)
+    whole = sampler(pa.table({"doc_id": arr_ids, "payload": arr_pay})
+                    ).to_pandas()
+    part = sampler(pa.table({"doc_id": arr_ids.slice(1, 4),
+                             "payload": arr_pay.slice(1, 4)})).to_pandas()
+    pd.testing.assert_frame_equal(
+        part.reset_index(drop=True),
+        whole[whole["doc_id"].isin([1, 2, 3, 4])].reset_index(drop=True))
+    # oracle: per-row bytes-copy framing
+    exp_rows = []
+    for rid, b in zip(ids, payloads):
+        if not b:
+            continue
+        arr = np.frombuffer(b, np.uint8).astype(np.float64) - 128.0
+        for f in range(max(1, -(-len(arr) // 4096))):
+            seg = arr[f * 4096:(f + 1) * 4096]
+            sign = np.signbit(seg)
+            exp_rows.append((rid, f,
+                             float(np.sqrt(np.mean(seg * seg))) / 128.0,
+                             np.count_nonzero(sign[1:] != sign[:-1])
+                             / max(len(seg) - 1, 1),
+                             float(np.max(np.abs(seg))) / 128.0))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "frame", "rms", "zcr",
+                                          "peak"])
+    got = whole.astype({"rms": float, "zcr": float, "peak": float})
+    np.testing.assert_allclose(
+        got[["rms", "zcr", "peak"]].to_numpy(),
+        exp[["rms", "zcr", "peak"]].to_numpy(), rtol=1e-6)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["frame"].tolist() == exp["frame"].tolist()
+
+
 def test_binary_features_phash_locality():
     """byte_phash is deterministic, identical for identical payloads, and
     closer (Hamming) for a 1-byte-perturbed copy than for unrelated bytes."""

@@ -82,6 +82,40 @@ def test_packed_sequence_spans_id_cap(tmp_path):
     assert total == 5  # 20 tokens / 4
 
 
+def test_packed_sequence_spans_multi_file(tmp_path):
+    # sharded corpus: 3 files x multiple row groups must match the
+    # single-file oracle on the concatenated corpus (round-4 VERDICT ask #4)
+    rng = np.random.RandomState(7)
+    counts = rng.randint(0, 30, size=24)
+    ids = list(range(24))
+    texts = ["w " * int(n) for n in counts]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    paths = []
+    for i in range(3):
+        p = str(shard_dir / f"part-{i:03d}.parquet")
+        sl = slice(8 * i, 8 * (i + 1))
+        _write_docs(p, ids[sl], texts[sl], row_group_size=3)
+        paths.append(p)
+    single = str(tmp_path / "all.parquet")
+    _write_docs(single, ids, texts, row_group_size=5)
+    exp_spans, exp_total = packed_sequence_spans(single, seq_len=16)
+    for inp in (paths, str(shard_dir), str(shard_dir / "part-*.parquet")):
+        spans, total = packed_sequence_spans(inp, seq_len=16)
+        pd.testing.assert_frame_equal(spans, exp_spans)
+        assert total == exp_total
+
+
+def test_packed_sequence_spans_multi_file_rejects_interleaved(tmp_path):
+    # per-file sorted but file ranges overlap -> must raise, not mis-pack
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    _write_docs(a, [0, 10], ["x", "y"])
+    _write_docs(b, [5, 15], ["x", "y"])
+    with pytest.raises(ValueError, match="pack order violated"):
+        packed_sequence_spans([a, b], seq_len=10)
+
+
 def test_packed_sequence_spans_rejects_unsorted(tmp_path):
     p = str(tmp_path / "docs.parquet")
     _write_docs(p, [5, 3, 7], ["a", "b", "c"])

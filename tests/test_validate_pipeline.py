@@ -201,3 +201,43 @@ def test_violation_cap_and_sink(tmp_path, corpus_dir):
     sunk = pq.read_table(sink)
     assert len(sunk) == total
     assert set(sunk["check_id"].to_pylist()) == {"always_fails"}
+
+
+def test_poisoned_check_becomes_error_rows(corpus_dir):
+    """Round-4 VERDICT ask #6 — per-row error capture in the check contract:
+    a custom check whose kernel raises an arbitrary exception must NOT fail
+    the task; it materializes kind='error' violation rows (check_id, column,
+    exception repr), counts its rows as violating, and leaves every other
+    check's verdict untouched (the reference's error-Observation semantics,
+    elevation/service.py:246-279)."""
+    import ray.data
+
+    from biosample_enricher_ray.stages.checks import NotNullCheck, RowCheck
+
+    class PoisonedCheck(RowCheck):
+        def __init__(self):
+            super().__init__(check_id="poisoned", column="text",
+                             expected="unreachable")
+
+        def mask(self, batch):
+            raise ZeroDivisionError("boom in user kernel")
+
+    ds = ray.data.read_parquet(f"{corpus_dir}/pages-00000.parquet")
+    checks = [NotNullCheck(column="url"), PoisonedCheck()]
+    result = validate_dataset(
+        ds, checks, None, uniqueness_column=None, batch_size=256,
+        concurrency=2, path_column=None,
+    )
+    m = result.matrix.groupby("check_id")[["n_violations", "n_rows"]].sum()
+    # the poisoned check counts every row as violating...
+    assert int(m.loc["poisoned", "n_violations"]) == 1000
+    # ...the healthy check is unaffected
+    assert int(m.loc["not_null:url", "n_violations"]) == 0
+    assert int(m.loc["not_null:url", "n_rows"]) == 1000
+    v = result.violations
+    err = v.filter(pc.equal(v["check_id"], "poisoned"))
+    assert len(err) > 0
+    assert set(err["kind"].to_pylist()) == {"error"}
+    assert all("ZeroDivisionError" in o and "boom" in o
+               for o in err["observed"].to_pylist())
+    assert set(err["column"].to_pylist()) == {"text"}
