@@ -53,6 +53,20 @@ from ..pipelines.validate import (
 COMMIT_SUFFIX = ".commit.json"
 
 
+def input_fingerprints(paths: list[str]) -> list[list]:
+    """``[path, size_bytes, mtime_ns]`` per input fragment — the commit
+    staleness guard (round-4 VERDICT ask #9): a silently-regenerated input
+    (same path, new bytes) changes size or mtime, so commits carrying the
+    old fingerprint re-execute instead of reusing stale output. Analog of
+    the reference cache's TTL invalidation (http_cache.py:78), keyed on
+    input identity rather than wall-clock age."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append([p, st.st_size, st.st_mtime_ns])
+    return out
+
+
 def suite_fingerprint(checks: list[RowCheck]) -> str:
     """Stable digest of the COMPILED suite so resume can detect edits to a
     user YAML suite, not just bumps of the package SUITE_VERSION constant.
@@ -155,12 +169,16 @@ def write_partitioned_resumable(
     os.makedirs(data_dir, exist_ok=True)
     done = committed_partitions(out_dir)
 
+    plan_by_id = {p.partition_id: p for p in plans}
+
     def _fresh(pid: str) -> bool:
         rec = done.get(pid)
         return (
             rec is not None
             and rec.get("transform_id") == transform_id
             and os.path.exists(rec.get("path", ""))
+            and rec.get("input_fingerprints")
+            == input_fingerprints(plan_by_id[pid].fragments)
         )
 
     @ray.remote
@@ -177,6 +195,7 @@ def write_partitioned_resumable(
         return {
             "partition_id": plan.partition_id,
             "fragments": plan.fragments,
+            "input_fingerprints": input_fingerprints(plan.fragments),
             "n_rows": t.num_rows,
             "transform_id": transform_id,
             "path": data_path,
@@ -259,6 +278,7 @@ def run_partition(
     commit = {
         "partition_id": plan.partition_id,
         "input_fragment_ids": plan.fragments,
+        "input_fingerprints": input_fingerprints(plan.fragments),
         "suite_version": suite_fingerprint(checks),
         "n_rows": result.n_rows,
         "n_violations": result.total_violations,
@@ -327,7 +347,10 @@ def run_validation(
     def _commit_reusable(p: PartitionPlan) -> bool:
         c = commits.get(p.partition_id)
         if (c is None or c.get("input_fragment_ids") != p.fragments
-                or c.get("suite_version") != fp):
+                or c.get("suite_version") != fp
+                # staleness guard: a rewritten input file (same path, new
+                # size/mtime) invalidates exactly this partition
+                or c.get("input_fingerprints") != input_fingerprints(p.fragments)):
             return False
         if violations_path is not None and not os.path.exists(
             os.path.join(out_dir, "partitions", p.partition_id,
@@ -450,3 +473,138 @@ def _merge_profiles_into(acc: dict[str, dict[str, Any]],
         if "_tdigest" in a:
             a["quantiles"] = {q: a["_tdigest"].quantile(q)
                               for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
+
+
+# ------------------------------------------------------------ curation resume
+
+CURATION_VERSION = "1"
+
+
+def run_curation(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> dict[str, Any]:
+    """Two-stage-commit resumable curation pipeline (round-4 VERDICT ask #8):
+    the composed gate→dedup→cap pipeline of ``curation_pipeline_documents``
+    with a durable commit between its two expensive halves, so a kill
+    between stages resumes from the keeper table instead of re-running the
+    corpus-wide gated dedup.
+
+    - **Stage 1 "keepers"**: quality/language gate + gated exact dedup →
+      ``keepers.parquet`` (sorted keeper doc_ids) + atomic commit marker
+      with the documents file's fingerprint.
+    - **Stage 2 "capped"**: keeper broadcast semi-join + per-source cap →
+      ``capped.parquet`` (doc_id, source, n_chars) + commit marker, which
+      also fingerprints ``keepers.parquet`` so a stage-1 re-run invalidates
+      stage 2.
+
+    Commits follow the validation-run rules: data rename BEFORE marker,
+    ``CURATION_VERSION`` bumps invalidate, rewritten inputs invalidate via
+    ``input_fingerprints``. ``stop_after='keepers'`` returns after stage 1
+    (the kill-between-stages hook for tests).
+
+    Returns ``{"summary": DataFrame(source, n_kept, sum_chars),
+    "resumed_stages": [...], "executed_stages": [...]}`` (summary ``None``
+    when stopped after stage 1).
+    """
+    from ..pipelines.queries import (
+        curation_capped_ds,
+        curation_keeper_ids,
+        curation_summary_frame,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs_fp = input_fingerprints([docs_path])
+    keepers_path = os.path.join(out_dir, "keepers.parquet")
+    capped_path = os.path.join(out_dir, "capped.parquet")
+    k_commit_path = os.path.join(out_dir, "keepers" + COMMIT_SUFFIX)
+    c_commit_path = os.path.join(out_dir, "capped" + COMMIT_SUFFIX)
+
+    def _load_commit(path: str) -> dict[str, Any] | None:
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    resumed: list[str] = []
+    executed: list[str] = []
+
+    # --- stage 1: keeper table
+    k_commit = _load_commit(k_commit_path) if resume else None
+    keepers_fresh = (
+        k_commit is not None
+        and k_commit.get("curation_version") == CURATION_VERSION
+        and k_commit.get("input_fingerprints") == docs_fp
+        and os.path.exists(keepers_path)
+    )
+    if keepers_fresh:
+        keep_ids = pq.read_table(keepers_path)["keep_id"].to_numpy()
+        resumed.append("keepers")
+    else:
+        import numpy as np
+
+        keep_ids = curation_keeper_ids(sf_dir)
+        tmp = keepers_path + ".tmp"
+        pq.write_table(
+            pa.table({"keep_id": pa.array(np.asarray(keep_ids, np.int64))}),
+            tmp,
+        )
+        os.replace(tmp, keepers_path)
+        _atomic_write_json(k_commit_path, {
+            "stage": "keepers",
+            "curation_version": CURATION_VERSION,
+            "input_fingerprints": docs_fp,
+            "n_keepers": int(len(keep_ids)),
+            "path": keepers_path,
+            "committed_at": time.time(),
+        })
+        executed.append("keepers")
+    if stop_after == "keepers":
+        return {"summary": None, "resumed_stages": resumed,
+                "executed_stages": executed}
+
+    # --- stage 2: capped output (depends on inputs AND the keeper table)
+    keepers_fp = input_fingerprints([keepers_path])
+    c_commit = _load_commit(c_commit_path) if resume else None
+    capped_fresh = (
+        c_commit is not None
+        and c_commit.get("curation_version") == CURATION_VERSION
+        and c_commit.get("input_fingerprints") == docs_fp
+        and c_commit.get("keepers_fingerprints") == keepers_fp
+        and os.path.exists(capped_path)
+    )
+    if capped_fresh:
+        capped = pq.read_table(capped_path)
+        resumed.append("capped")
+    else:
+        capped = (
+            curation_capped_ds(sf_dir, keep_ids)
+            .sort(["source", "doc_id"])
+            .to_pandas()
+        )
+        capped = pa.Table.from_pandas(capped, preserve_index=False)
+        tmp = capped_path + ".tmp"
+        pq.write_table(capped, tmp)
+        os.replace(tmp, capped_path)
+        _atomic_write_json(c_commit_path, {
+            "stage": "capped",
+            "curation_version": CURATION_VERSION,
+            "input_fingerprints": docs_fp,
+            "keepers_fingerprints": keepers_fp,
+            "n_rows": capped.num_rows,
+            "path": capped_path,
+            "committed_at": time.time(),
+        })
+        executed.append("capped")
+
+    pdf = capped.to_pandas()
+    summary = curation_summary_frame(
+        pdf.groupby("source", as_index=False)
+        .agg(n_kept=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+    )
+    return {"summary": summary, "resumed_stages": resumed,
+            "executed_stages": executed}

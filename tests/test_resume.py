@@ -221,3 +221,85 @@ def test_write_partitioned_resumable(tmp_path, corpus_dir):
         columns=["url", "lang"], files_per_partition=1,
     )
     assert r4["written"] == len(paths) and r4["skipped"] == 0
+
+
+def test_curation_two_stage_resume(tmp_path, sf001_dir):
+    """Round-4 VERDICT ask #8: the composed curation pipeline commits its
+    keeper table before the capped-output stage, so a kill between stages
+    resumes from keepers instead of re-running the corpus-wide gated dedup;
+    the resumed result equals the one-shot query."""
+    import pandas as pd
+
+    from biosample_enricher_ray.pipelines.queries import (
+        curation_pipeline_documents,
+    )
+    from biosample_enricher_ray.state.checkpoint import run_curation
+
+    out = str(tmp_path / "curation")
+
+    # kill between stages: only the keeper table commits
+    r1 = run_curation(sf001_dir, out, stop_after="keepers")
+    assert r1["executed_stages"] == ["keepers"]
+    assert r1["summary"] is None
+    assert os.path.exists(os.path.join(out, "keepers.parquet"))
+    assert not os.path.exists(os.path.join(out, "capped.parquet"))
+
+    # resume: stage 1 loads from its checkpoint, only stage 2 executes
+    k_mtime = os.path.getmtime(os.path.join(out, "keepers.parquet"))
+    r2 = run_curation(sf001_dir, out)
+    assert r2["resumed_stages"] == ["keepers"]
+    assert r2["executed_stages"] == ["capped"]
+    assert os.path.getmtime(os.path.join(out, "keepers.parquet")) == k_mtime
+    pd.testing.assert_frame_equal(
+        r2["summary"], curation_pipeline_documents(sf001_dir))
+
+    # fully-committed rerun executes nothing and agrees
+    r3 = run_curation(sf001_dir, out)
+    assert r3["resumed_stages"] == ["keepers", "capped"]
+    assert r3["executed_stages"] == []
+    pd.testing.assert_frame_equal(r3["summary"], r2["summary"])
+
+    # resume=False re-executes both stages
+    r4 = run_curation(sf001_dir, out, resume=False)
+    assert r4["executed_stages"] == ["keepers", "capped"]
+    pd.testing.assert_frame_equal(r4["summary"], r2["summary"])
+
+
+def test_input_rewrite_invalidates_partition(tmp_path, corpus_dir):
+    """Round-4 VERDICT ask #9: commits fingerprint their input fragments
+    (size + mtime_ns); rewriting ONE input file re-executes exactly that
+    partition on resume."""
+    import shutil
+    import time as _time
+
+    from biosample_enricher_ray.pipelines.validate import default_pages_checks
+
+    # private copy of the corpus — the fixture is session-scoped
+    src = _paths(corpus_dir)
+    data = tmp_path / "inputs"
+    data.mkdir()
+    paths = []
+    for p in src:
+        q = str(data / os.path.basename(p))
+        shutil.copy(p, q)
+        paths.append(q)
+
+    out = str(tmp_path / "run")
+    checks = default_pages_checks()
+    run_validation(paths, out, checks, None, files_per_partition=1,
+                   max_concurrent_partitions=2, batch_size=512,
+                   uniqueness_column=None)
+    m1 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert len(m1["executed_partitions"]) == 4
+
+    # regenerate one input in place: same path and contents, newer mtime
+    _time.sleep(0.01)
+    os.utime(paths[2])
+    result = run_validation(paths, out, checks, None, files_per_partition=1,
+                            max_concurrent_partitions=2, batch_size=512,
+                            uniqueness_column=None)
+    m2 = json.load(open(os.path.join(out, "run_manifest.json")))
+    assert m2["executed_partitions"] == ["part-00002"]
+    assert sorted(m2["resumed_partitions"]) == [
+        "part-00000", "part-00001", "part-00003"]
+    assert result.n_rows == 4000
