@@ -19,6 +19,7 @@ sits ~1e-12 away from the value.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from typing import Any, Callable
 
 import numpy as np
@@ -3898,7 +3899,7 @@ def window_ops_gates(sf_dir: str) -> pd.DataFrame:
         lambda: hll_by_lang_documents(sf_dir, overlap=False),
         lambda: tdigest_by_lang_documents(sf_dir, overlap=False),
         lambda: pivot_source_lang_documents(sf_dir),
-    ], max_workers=3)
+    ], max_workers=int(os.environ.get("GRAFT_GATE_WORKERS", "3")))
     for col in ("n_rows", "min_rn", "max_rn", "min_n_chars",
                 "max_n_chars", "sum_doc_id"):
         kv("ntile", [f"t{t}:{col}" for t in nt["tile"]], nt[col])
