@@ -32,6 +32,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.hashing import hash64, md5_column
+from ..functions.parsing import retrim as _retrim
 from ..functions.textstats import (
     detect_language,
     quality_features,
@@ -56,15 +57,6 @@ DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-# RE2 \s edge-trim — the SINGLE trim definition shared (by construction)
-# with every oracle's regexp_replace(text, '^\s+|\s+$', '', 'g'): Arrow and
-# DuckDB both compile \s with RE2, so engine and SQL strip the identical
-# byte set. (utf8_trim_whitespace strips the wider Unicode White_Space set
-# and DuckDB trim() strips spaces only — either choice silently diverges on
-# edge tabs/newlines; ADVICE r4.)
-from ..functions.parsing import retrim as _retrim  # noqa: E402
 
 
 def _install_fsspec_http_stub() -> None:

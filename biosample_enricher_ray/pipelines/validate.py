@@ -243,6 +243,10 @@ def records_dataset(
         import ray
 
         concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+    if stage_mode not in ("actors", "tasks"):
+        # the A/B knob exists to compare the two arms — a typo silently
+        # benchmarking actors-vs-actors would corrupt the measurement
+        raise ValueError(f"stage_mode must be 'actors' or 'tasks', got {stage_mode!r}")
     if stage_mode == "tasks":
         # task-stage variant: Validator setup is a suite compile + zero-copy
         # ray.get of the broadcast dims (~ms), so taskify's per-worker memo

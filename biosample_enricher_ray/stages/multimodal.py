@@ -110,11 +110,12 @@ class ImageDecoder:
     fleet pays for pixels).
     """
 
-    #: header search window — every container this stage parses carries its
-    #: dimensions well inside 64 KiB (PNG/GIF/BMP in the first 32 bytes; JPEG
-    #: SOF after EXIF/thumbnail segments, capped here like any scanner). The
-    #: slice means a multi-MB payload never becomes a Python ``bytes``: only
-    #: the prefix is copied out of the Arrow buffer (round-4 VERDICT ask #5).
+    #: header search window — PNG/GIF/BMP carry dimensions in the first 32
+    #: bytes and most JPEGs reach SOF well inside 64 KiB, so only the prefix
+    #: is copied out of the Arrow buffer (round-4 VERDICT ask #5): a multi-MB
+    #: payload never becomes a Python ``bytes`` on the fast path. JPEGs whose
+    #: metadata (multi-segment EXIF, ICC profiles) pushes SOF past the prefix
+    #: fall back to a full-payload re-parse for that row only.
     HEADER_PREFIX = 65536
 
     def __init__(self, payload_column: str = "payload") -> None:
@@ -123,12 +124,16 @@ class ImageDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        payloads = pc.binary_slice(
-            batch[self.payload_column], 0, self.HEADER_PREFIX
-        ).to_pylist()
+        col = batch[self.payload_column]
+        payloads = pc.binary_slice(col, 0, self.HEADER_PREFIX).to_pylist()
+        lengths = pc.binary_length(col).to_pylist()
         meta = {name: [] for name in IMAGE_META_SCHEMA.names}
-        for b in payloads:
+        for row_idx, b in enumerate(payloads):
             parsed = parse_image_header(b) if b else None
+            if (parsed is None and b
+                    and (lengths[row_idx] or 0) > self.HEADER_PREFIX):
+                # rare slow path: SOF beyond the prefix — one full-row copy
+                parsed = parse_image_header(col[row_idx].as_py())
             if parsed is None:
                 meta["width"].append(None)
                 meta["height"].append(None)

@@ -32,6 +32,7 @@ is new scope per the round-3 training-pipeline brief.
 from __future__ import annotations
 
 import glob as _glob
+import os as _os
 
 import numpy as np
 import pandas as pd
@@ -51,10 +52,14 @@ def _row_group_fragments(path: "str | list[str]") -> list[tuple[str, int]]:
     row groups in file order (the doc_id range-interleave assert below still
     guards the pack order across ALL files).
     """
-    if isinstance(path, str) and any(c in path for c in "*?["):
-        path = sorted(_glob.glob(path))
-        if not path:
-            raise FileNotFoundError(f"pack input glob matched no files")
+    if (isinstance(path, str) and not _os.path.exists(path)
+            and any(c in path for c in "*?[")):
+        # only treat as a glob when it is NOT a literal existing path —
+        # a real file named "run[2024]/docs.parquet" must open as a file
+        matched = sorted(_glob.glob(path))
+        if not matched:
+            raise FileNotFoundError(f"pack input glob matched no files: {path}")
+        path = matched
     dataset = pads.dataset(path, format="parquet")
     units: list[tuple[str, int]] = []
     for frag in sorted(dataset.get_fragments(), key=lambda f: f.path):

@@ -142,18 +142,7 @@ def recommend_join_salt(
     # round-robin), so they are excluded from BOTH numerator and
     # denominator; no ds.count() (which re-executes non-trivial lineage
     # and, over all rows incl. nulls, under-salts null-heavy columns).
-    sample = ds.select_columns([key_column]).random_sample(
-        sample_frac, seed=17)
-
-    def vc(t: pa.Table) -> pa.Table:
-        c = (t[key_column].combine_chunks().drop_null().value_counts())
-        return pa.table({key_column: c.field("values"), "n": c.field("counts")})
-
-    counts = (
-        sample.map_batches(vc, batch_format="pyarrow")
-        .groupby(key_column).aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    counts = _sampled_key_counts(ds, key_column, sample_frac, drop_nulls=True)
     if counts.empty:
         return 1
     total = float(counts["n"].sum())
@@ -677,23 +666,39 @@ def sampling_variance(
     return out
 
 
-def detect_skewed_keys(
-    ds: ray.data.Dataset, key_column: str, *, top: int = 20, sample_frac: float = 0.05
+def _sampled_key_counts(
+    ds: ray.data.Dataset, key_column: str, sample_frac: float,
+    *, drop_nulls: bool,
 ) -> pd.DataFrame:
-    """Estimate the hottest keys from a sample — the pre-shuffle skew probe
-    (SURVEY.md §4.2 'detect skew from fragment row-counts before shuffle')."""
+    """Shared sampling probe: DataFrame(key_column, n) of per-key counts over
+    one ``random_sample(sample_frac, seed=17)`` pass (in-batch value_counts
+    combiner, then a tiny groupby-sum). Used by both the skew detector
+    (nulls kept — a null-heavy key IS a skew signal for sort-based groupbys,
+    which raise on null keys) and the join-salt probe (nulls dropped — null
+    keys never shuffle in a join)."""
     sample = ds.select_columns([key_column]).random_sample(sample_frac, seed=17)
 
     def vc(t: pa.Table) -> pa.Table:
-        c = t[key_column].combine_chunks().value_counts()
+        col = t[key_column].combine_chunks()
+        if drop_nulls:
+            col = col.drop_null()
+        c = col.value_counts()
         return pa.table({key_column: c.field("values"), "n": c.field("counts")})
 
-    counts = (
+    return (
         sample.map_batches(vc, batch_format="pyarrow")
         .groupby(key_column)
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+
+
+def detect_skewed_keys(
+    ds: ray.data.Dataset, key_column: str, *, top: int = 20, sample_frac: float = 0.05
+) -> pd.DataFrame:
+    """Estimate the hottest keys from a sample — the pre-shuffle skew probe
+    (SURVEY.md §4.2 'detect skew from fragment row-counts before shuffle')."""
+    counts = _sampled_key_counts(ds, key_column, sample_frac, drop_nulls=False)
     counts["est_total"] = (counts["n"] / max(sample_frac, 1e-9)).astype("int64")
     return (
         counts.sort_values("n", ascending=False)

@@ -300,9 +300,11 @@ def test_multimodal_zero_copy_payload_access():
     })
     out = ImageDecoder()(t).to_pandas().set_index("doc_id")
     assert out.loc[0, ["width", "height", "format"]].tolist() == [123, 45, "png"]
-    # SOF past the 64 KiB header window -> decode_ok=False by the documented
-    # cap (dimension metadata outside any sane header region)
-    assert not out.loc[1, "decode_ok"]
+    # SOF past the 64 KiB header window (multi-segment EXIF/ICC metadata):
+    # the per-row full-payload fallback must still recover the dimensions —
+    # only the zero-copy prefix FAST path stops at 64 KiB
+    assert out.loc[1, "decode_ok"]
+    assert out.loc[1, ["width", "height", "format"]].tolist() == [7, 9, "jpeg"]
     assert not out.loc[2, "decode_ok"] and not out.loc[3, "decode_ok"]
 
     rng = np.random.default_rng(11)

@@ -116,6 +116,20 @@ def test_packed_sequence_spans_multi_file_rejects_interleaved(tmp_path):
         packed_sequence_spans([a, b], seq_len=10)
 
 
+def test_packed_sequence_spans_literal_bracket_path(tmp_path):
+    # a literal existing path containing '[' must open as a file, not be
+    # swallowed by glob character-class expansion (code-review r5)
+    d = tmp_path / "run[2024]"
+    d.mkdir()
+    p = str(d / "docs.parquet")
+    _write_docs(p, [0, 1, 2], ["w w", "w", "w w w"])
+    spans, total = packed_sequence_spans(p, seq_len=3)
+    assert spans["doc_id"].tolist() == [0, 1, 2]
+    assert total == 2
+    with pytest.raises(FileNotFoundError, match="matched no files"):
+        packed_sequence_spans(str(tmp_path / "nope-*.parquet"), seq_len=3)
+
+
 def test_packed_sequence_spans_rejects_unsorted(tmp_path):
     p = str(tmp_path / "docs.parquet")
     _write_docs(p, [5, 3, 7], ["a", "b", "c"])

@@ -241,3 +241,13 @@ def test_poisoned_check_becomes_error_rows(corpus_dir):
     assert all("ZeroDivisionError" in o and "boom" in o
                for o in err["observed"].to_pylist())
     assert set(err["column"].to_pylist()) == {"text"}
+
+
+def test_records_dataset_rejects_unknown_stage_mode(corpus_dir):
+    import pytest
+    from biosample_enricher_ray.pipelines.validate import (
+        default_pages_checks, records_dataset)
+
+    ds = ray.data.read_parquet(f"{corpus_dir}/pages-00000.parquet")
+    with pytest.raises(ValueError, match="stage_mode"):
+        records_dataset(ds, default_pages_checks(), stage_mode="task")

@@ -5,7 +5,8 @@ counter; single-thread 1k-matmul probe ~50 ms healthy, 127-350 ms
 throttled).  The raw >=0.8 scaling-efficiency criterion is unreachable in a
 throttled window (the measured pure-numpy host ceiling itself was 3.15x/4
 in round 4), so this watcher samples the probe continuously and fires the
-official 5-pair interleaved scaling protocol + the flagship headline bench
+official interleaved scaling protocol (3 pairs, see fire()) + the flagship
+headline bench
 the moment the probe stays below HEALTHY_MS for STREAK consecutive samples
 (~2 min), i.e. in the best weather the host offers during the round.
 
@@ -17,6 +18,7 @@ high under that load anyway, so the gate is naturally self-protecting).
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -51,12 +53,19 @@ def fire() -> None:
     with open("/tmp/graft_scaling_healthy.json", "w") as out:
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                         "--scaling"], env=env, stdout=out,
-                       stderr=subprocess.DEVNULL, timeout=5400)
+                       stderr=subprocess.DEVNULL, timeout=5400, check=True)
+    # A failed/empty scaling artifact must NOT consume the one fire: require
+    # a parseable summary with at least one pair before declaring success.
+    with open("/tmp/graft_scaling_healthy.json") as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    summary = json.loads(lines[-1])
+    if not summary.get("scaling_efficiency"):
+        raise RuntimeError(f"scaling artifact has no efficiency: {summary}")
     env2 = dict(os.environ, GRAFT_BENCH_STEADY_STATE="1", RAY_GRAFT_CPUS="32")
     with open("/tmp/graft_headline_healthy.json", "w") as out:
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                         "--headline-only"], env=env2, stdout=out,
-                       stderr=subprocess.DEVNULL, timeout=1800)
+                       stderr=subprocess.DEVNULL, timeout=1800, check=True)
 
 
 def main() -> None:
