@@ -822,7 +822,12 @@ def join_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
     right = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = shuffle_hash_join(left, "l_orderkey", right, "o_orderkey", salt=2)
+    return _revenue_by_priority(joined)
 
+
+def _revenue_by_priority(joined: ray.data.Dataset) -> pd.DataFrame:
+    """Per-priority (n_items, revenue_e4) over lineitem⋈orders joined rows —
+    shared reducer of the shuffle-join query and its bucketed twin."""
     out_schema = pa.schema([("o_orderpriority", pa.string()),
                             ("n_items", pa.int64()),
                             ("revenue_e4", pa.int64())])
@@ -856,6 +861,33 @@ def join_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     out["revenue_e4"] = out["revenue_e4"].astype("int64")
     return (out[["o_orderpriority", "n_items", "revenue_e4"]]
             .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def bucketed_join_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """EXCHANGE-FREE twin of join_revenue_by_priority over pre-bucketed
+    tables (stages/shuffle.py bucketed_hash_join): each side pays its hash
+    exchange exactly ONCE — at write_bucketed_by_key time — and every later
+    join/groupby on the co-location key joins bucket-pair-by-bucket-pair
+    with zero rows moving between tasks. This is the "pick ONE partitioning
+    key and reuse it" production layout; at this query's scale the sink
+    write is the dominant cost, at 100 TB it amortizes over every
+    downstream consumer of the layout."""
+    import tempfile
+
+    from ..stages.shuffle import bucketed_hash_join, write_bucketed_by_key
+
+    with tempfile.TemporaryDirectory(prefix="bucketed_join_") as td:
+        write_bucketed_by_key(
+            _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"]),
+            "l_orderkey", f"{td}/lineitem", num_buckets=16)
+        write_bucketed_by_key(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+            "o_orderkey", f"{td}/orders", num_buckets=16)
+        joined = bucketed_hash_join(f"{td}/lineitem", f"{td}/orders")
+        # consume INSIDE the tempdir's lifetime — the join streams lazily
+        # from the bucket dirs
+        return _revenue_by_priority(joined)
 
 
 def union_event_halves(sf_dir: str) -> pd.DataFrame:
@@ -4006,6 +4038,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 # iterates QUERIES | EXTRA_QUERIES) and benchmarkable.
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
+    "bucketed_join_revenue_by_priority": bucketed_join_revenue_by_priority,
     "left_join_orders_lineitem": left_join_orders_lineitem,
     "hll_by_lang_documents": hll_by_lang_documents,
     "click_view_day_join_events": click_view_day_join_events,
@@ -5001,6 +5034,11 @@ _ALL_ORACLE_SQL: dict[str, str] = {
 
 # Merged window/rollup/set-op gate: UNION ALL of the seven component oracles
 # melted to the same long (k, v:BIGINT) format as window_ops_gates().
+# the bucketed twin must produce byte-identical results to the shuffle join
+# — same oracle by construction
+_ALL_ORACLE_SQL["bucketed_join_revenue_by_priority"] = (
+    _ALL_ORACLE_SQL["join_revenue_by_priority"])
+
 _ALL_ORACLE_SQL["window_ops_gates"] = (
     "WITH q_ntile AS (" + _ALL_ORACLE_SQL["ntile_deciles_documents"] + "), "
     "q_lag AS (" + _ALL_ORACLE_SQL["lag_delta_events"] + "), "

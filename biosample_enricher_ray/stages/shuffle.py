@@ -743,7 +743,134 @@ def write_bucketed_by_key(
 
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"])
+    # manifest written AFTER the data (commit-marker semantics: its presence
+    # means the bucketed table is complete) — bucket-local readers use it to
+    # prove two tables share one layout before skipping the exchange
+    import json
+    import os
+
+    with open(os.path.join(out_dir, _BUCKET_MANIFEST), "w") as f:
+        json.dump({"num_buckets": num_buckets, "key_column": key_column,
+                   "hash": "hash64_msb", "version": 1}, f)
     return num_buckets
+
+
+_BUCKET_MANIFEST = "_bucket_manifest.json"
+
+
+def read_bucket_manifest(table_dir: str) -> dict:
+    """Layout manifest of a ``write_bucketed_by_key`` table; raises
+    FileNotFoundError when the table was never completed (manifest is the
+    commit marker) or predates manifests."""
+    import json
+    import os
+
+    path = os.path.join(table_dir, _BUCKET_MANIFEST)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no bucket manifest at {path}: not a completed "
+            "write_bucketed_by_key table")
+    with open(path) as f:
+        return json.load(f)
+
+
+def bucketed_hash_join(
+    left_dir: str,
+    right_dir: str,
+    *,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Exchange-free equi-join of two ``write_bucketed_by_key`` tables.
+
+    The payoff of the "pick ONE partitioning key and reuse it" layout: both
+    tables were already hash-partitioned on their bucketing key by the sink,
+    so equal keys are guaranteed co-located in equal-numbered bucket dirs —
+    each bucket pair joins locally (pyarrow's C++ hash join) with ZERO rows
+    moving between tasks. At 100 TB this turns every repeat join on the
+    co-location key from an all-to-all exchange into an embarrassingly
+    parallel per-bucket scan: bucket b's task reads only ``bucket=b`` files
+    from each side (directory-level pruning).
+
+    Layout proof, not trust: both manifests must exist (they are the sinks'
+    commit markers) and agree on num_buckets + hash version; the join key of
+    each side IS its manifest's ``key_column`` — joining bucketed tables on
+    any other column would silently co-locate nothing, so no key override
+    exists. ``how`` is ``"inner"`` or ``"left"``. Null keys never match
+    (SQL semantics); the sink routes them to bucket 0, where a left join
+    null-fills them and an inner join drops them.
+
+    Skew: co-location is frozen at write time, so a hot key cannot be
+    salted here — one bucket pair is the straggler. Detect hot keys BEFORE
+    bucketing (``detect_skewed_keys``) and either keep them out of the
+    bucketed layout or fall back to ``shuffle_hash_join(salt=k)`` for the
+    hot slice.
+
+    Non-key output columns must be disjoint across the two sides (project
+    with ``left_columns`` / ``right_columns``) — suffix-renaming would make
+    the output schema depend on the other side's schema, the kind of
+    spooky-action a 50-stage pipeline can't debug.
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    ml = read_bucket_manifest(left_dir)
+    mr = read_bucket_manifest(right_dir)
+    for field in ("num_buckets", "hash", "version"):
+        if ml[field] != mr[field]:
+            raise ValueError(
+                f"bucket layouts disagree on {field}: {ml[field]!r} vs "
+                f"{mr[field]!r} — rewrite one side with matching "
+                "num_buckets or use shuffle_hash_join")
+    left_key, right_key = ml["key_column"], mr["key_column"]
+    num_buckets = int(ml["num_buckets"])
+
+    def _schema(table_dir: str) -> pa.Schema:
+        # metadata-only: first fragment's parquet schema (files carry the
+        # original columns; the hive `bucket` col lives in dir names only)
+        d = pads.dataset(table_dir, format="parquet",
+                         partitioning="hive",
+                         ignore_prefixes=[".", "_"])
+        schema = d.schema
+        if "bucket" in schema.names:
+            schema = schema.remove(schema.get_field_index("bucket"))
+        return schema
+
+    schema_l, schema_r = _schema(left_dir), _schema(right_dir)
+    left_columns = left_columns or schema_l.names
+    right_columns = right_columns or schema_r.names
+    if left_key not in left_columns:
+        left_columns = [left_key, *left_columns]
+    if right_key not in right_columns:
+        right_columns = [right_key, *right_columns]
+    overlap = (set(left_columns) - {left_key}) & (set(right_columns) - {right_key})
+    if overlap:
+        raise ValueError(
+            f"non-key output columns collide: {sorted(overlap)} — project "
+            "one side away with left_columns/right_columns")
+    join_type = "inner" if how == "inner" else "left outer"
+
+    @ray.remote
+    def join_one_bucket(b: int) -> pa.Table:
+        def read_side(table_dir: str, cols: list[str],
+                      schema: pa.Schema) -> pa.Table:
+            path = os.path.join(table_dir, f"bucket={b}")
+            if not os.path.isdir(path):
+                return pa.schema(
+                    [schema.field(c) for c in cols]).empty_table()
+            return pads.dataset(path, format="parquet").to_table(columns=cols)
+
+        lt = read_side(left_dir, left_columns, schema_l)
+        rt = read_side(right_dir, right_columns, schema_r)
+        return lt.join(rt, keys=left_key, right_keys=right_key,
+                       join_type=join_type)
+
+    refs = [join_one_bucket.remote(b) for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(refs)
 
 
 def read_key_bucket(out_dir: str, bucket: int) -> ray.data.Dataset:

@@ -503,3 +503,71 @@ def test_shuffle_hash_join_outer_empty_right_side():
     with pytest.raises(Exception, match="no schema"):
         shuffle_hash_join(left, "k", right_schemaless, "rk",
                           how="left").to_pandas()
+
+
+def test_bucketed_hash_join_matches_duckdb(tmp_path):
+    """Exchange-free bucket-pair join over two write_bucketed_by_key tables
+    must equal the SQL join: inner + left, null keys (never match, left
+    keeps them), keys present on only one side, and an empty-bucket pair."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import (
+        bucketed_hash_join,
+        write_bucketed_by_key,
+    )
+
+    rng = np.random.default_rng(23)
+    lk = [f"k{v}" for v in rng.integers(0, 40, 500)] + [None] * 5
+    lt = pa.table({"k": pa.array(lk, pa.string()),
+                   "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    # right side: only even keys exist (odd left keys dangle), with dup rows
+    rk = [f"k{v}" for v in range(0, 40, 2) for _ in (0, 1)] + [None]
+    rt = pa.table({"k": pa.array(rk, pa.string()),
+                   "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed_by_key(ray.data.from_arrow(lt).repartition(4), "k", ld,
+                          num_buckets=8)
+    write_bucketed_by_key(ray.data.from_arrow(rt), "k", rd, num_buckets=8)
+
+    con = duckdb.connect()
+    con.register("lt", lt.to_pandas())
+    con.register("rt", rt.to_pandas())
+    for how, sql_join in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        got = (bucketed_hash_join(ld, rd, how=how).to_pandas()
+               .sort_values(["lv", "rv"], na_position="last")
+               .reset_index(drop=True))
+        exp = con.execute(
+            f"SELECT lt.k, lv, rv FROM lt {sql_join} rt ON lt.k = rt.k "
+            "ORDER BY lv, rv NULLS LAST").df()
+        assert got["lv"].tolist() == exp["lv"].tolist(), how
+        assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist(), how
+        assert got["k"].fillna("∅").tolist() == exp["k"].fillna("∅").tolist(), how
+
+
+def test_bucketed_hash_join_layout_guards(tmp_path):
+    """Mismatched bucket counts and missing manifests must raise — never
+    silently join non-co-located layouts; colliding non-key columns must
+    demand an explicit projection."""
+    import pyarrow as pa
+    import pytest
+
+    from biosample_enricher_ray.stages.shuffle import (
+        bucketed_hash_join,
+        write_bucketed_by_key,
+    )
+
+    t = pa.table({"k": pa.array(["a", "b"]), "v": pa.array([1, 2], pa.int64())})
+    d8, d16 = str(tmp_path / "b8"), str(tmp_path / "b16")
+    write_bucketed_by_key(ray.data.from_arrow(t), "k", d8, num_buckets=8)
+    write_bucketed_by_key(ray.data.from_arrow(t), "k", d16, num_buckets=16)
+    with pytest.raises(ValueError, match="num_buckets"):
+        bucketed_hash_join(d8, d16)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        bucketed_hash_join(d8, str(tmp_path / "never_written"))
+    with pytest.raises(ValueError, match="collide"):
+        bucketed_hash_join(d8, d8)  # both sides carry non-key column "v"
+    # disjoint projection resolves the collision: self-join succeeds
+    got = bucketed_hash_join(d8, d8, right_columns=["k"]).to_pandas()
+    assert sorted(got["k"].tolist()) == ["a", "b"]
