@@ -884,3 +884,60 @@ def read_key_bucket(out_dir: str, bucket: int) -> ray.data.Dataset:
     if os.path.isdir(path):
         return ray.data.read_parquet(path)
     return ray.data.read_parquet(out_dir).limit(0).drop_columns(["bucket"])
+
+
+def bucketed_map_groups(
+    table_dir: str,
+    fn: "Callable[[pd.DataFrame], pd.DataFrame]",
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Exchange-free ``groupby(key).map_groups(fn)`` over a
+    ``write_bucketed_by_key`` table.
+
+    The layout guarantees every row of a key lives in ONE bucket dir, so a
+    per-group function — including HOLISTIC ones that must see the whole
+    group (argmax, per-group sort, per-group dedup) that normally force the
+    all-to-all groupby exchange — runs per bucket with zero shuffle: each
+    task reads only its ``bucket=b`` files (directory-pruned, ``columns``
+    projected at the scan) and applies ``fn`` to each complete group.
+
+    ``fn`` takes one group as a pandas DataFrame (key column included) and
+    returns a DataFrame; outputs across groups must share one schema. A
+    bucket with no rows emits nothing. Skew caveat as for
+    ``bucketed_hash_join``: the hottest key's bucket is the straggler and
+    cannot be salted post-hoc (holistic fns can't be salted at all — that
+    is exactly when this layout is the RIGHT answer, per the measured
+    salt-bench finding in BASELINE.md).
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    manifest = read_bucket_manifest(table_dir)
+    key_column = manifest["key_column"]
+    num_buckets = int(manifest["num_buckets"])
+    if columns is not None and key_column not in columns:
+        columns = [key_column, *columns]
+
+    @ray.remote
+    def one_bucket(b: int) -> pa.Table:
+        path = os.path.join(table_dir, f"bucket={b}")
+        if not os.path.isdir(path):
+            return pa.table({})
+        t = pads.dataset(path, format="parquet").to_table(columns=columns)
+        if t.num_rows == 0:
+            return pa.table({})
+        df = t.to_pandas()
+        # null keys form their own group only if present (sort=False keeps
+        # first-appearance order; dropna=False matches map_groups semantics)
+        parts = [fn(g) for _, g in df.groupby(key_column, sort=False,
+                                              dropna=False)]
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return pa.table({})
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    refs = [one_bucket.remote(b) for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(refs)

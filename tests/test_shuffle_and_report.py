@@ -571,3 +571,44 @@ def test_bucketed_hash_join_layout_guards(tmp_path):
     # disjoint projection resolves the collision: self-join succeeds
     got = bucketed_hash_join(d8, d8, right_columns=["k"]).to_pandas()
     assert sorted(got["k"].tolist()) == ["a", "b"]
+
+
+def test_bucketed_map_groups_matches_global_groupby(tmp_path):
+    """Exchange-free per-group fn over a bucketed table must equal the
+    global groupby: a HOLISTIC argmax-with-tiebreak per group (the op class
+    that cannot be salted), null keys forming their own group, and column
+    projection at the scan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import (
+        bucketed_map_groups,
+        write_bucketed_by_key,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = [f"d{v}" for v in rng.integers(0, 30, 400)] + [None] * 3
+    vals = rng.integers(0, 1000, len(keys))
+    ids = np.arange(len(keys))
+    t = pa.table({"domain": pa.array(keys, pa.string()),
+                  "score": pa.array(vals, pa.int64()),
+                  "row_id": pa.array(ids, pa.int64()),
+                  "unused": pa.array(ids * 2, pa.int64())})
+    d = str(tmp_path / "by_domain")
+    write_bucketed_by_key(ray.data.from_arrow(t).repartition(3), "domain", d,
+                          num_buckets=8)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "row_id"], ascending=[False, True])
+        return g.head(1)[["domain", "score", "row_id"]]
+
+    got = (bucketed_map_groups(d, best,
+                               columns=["score", "row_id"]).to_pandas()
+           .sort_values("row_id").reset_index(drop=True))
+    df = t.to_pandas()
+    exp = (pd.concat([best(g) for _, g in
+                      df.groupby("domain", dropna=False, sort=False)])
+           .sort_values("row_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["domain"].isna().sum() == 1  # null group survived intact
