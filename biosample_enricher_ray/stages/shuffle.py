@@ -745,14 +745,39 @@ def write_bucketed_by_key(
         out_dir, partition_cols=["bucket"])
     # manifest written AFTER the data (commit-marker semantics: its presence
     # means the bucketed table is complete) — bucket-local readers use it to
-    # prove two tables share one layout before skipping the exchange
+    # prove two tables share one layout before skipping the exchange.
+    # Atomic (tmp + rename): a torn manifest must not look committed.
+    # makedirs: a zero-row dataset is a VALID bucketed table, but Ray's
+    # write_parquet creates no directory for it. The manifest carries the
+    # AUTHORITATIVE Arrow schema (base64 of schema.serialize()): an empty
+    # table has no fragments to derive one from, and consumers need it to
+    # emit schema-stable empty blocks.
+    import base64
     import json
     import os
 
-    with open(os.path.join(out_dir, _BUCKET_MANIFEST), "w") as f:
-        json.dump({"num_buckets": num_buckets, "key_column": key_column,
-                   "hash": "hash64_msb", "version": 1}, f)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, _BUCKET_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({
+            "num_buckets": num_buckets, "key_column": key_column,
+            "hash": "hash64_msb", "version": 1,
+            "schema_b64": base64.b64encode(
+                bytes(_arrow_schema_of(ds).serialize())).decode(),
+        }, f)
+    os.rename(tmp, os.path.join(out_dir, _BUCKET_MANIFEST))
     return num_buckets
+
+
+def _arrow_schema_of(ds: ray.data.Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset regardless of its block format (pandas
+    blocks report a PandasBlockSchema, not a pa.Schema)."""
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    empty = pd.DataFrame({n: pd.Series(dtype=t)
+                          for n, t in zip(base.names, base.types)})
+    return pa.Table.from_pandas(empty, preserve_index=False).schema
 
 
 _BUCKET_MANIFEST = "_bucket_manifest.json"
@@ -772,6 +797,15 @@ def read_bucket_manifest(table_dir: str) -> dict:
             "write_bucketed_by_key table")
     with open(path) as f:
         return json.load(f)
+
+
+def _manifest_schema(manifest: dict) -> pa.Schema:
+    """Authoritative table schema recorded by the sink (survives zero-row
+    tables, which leave no fragments to derive a schema from)."""
+    import base64
+
+    return pa.ipc.read_schema(
+        pa.py_buffer(base64.b64decode(manifest["schema_b64"])))
 
 
 def bucketed_hash_join(
@@ -829,25 +863,18 @@ def bucketed_hash_join(
     left_key, right_key = ml["key_column"], mr["key_column"]
     num_buckets = int(ml["num_buckets"])
 
-    def _schema(table_dir: str) -> pa.Schema:
-        # metadata-only: first fragment's parquet schema (files carry the
-        # original columns; the hive `bucket` col lives in dir names only)
-        d = pads.dataset(table_dir, format="parquet",
-                         partitioning="hive",
-                         ignore_prefixes=[".", "_"])
-        schema = d.schema
-        if "bucket" in schema.names:
-            schema = schema.remove(schema.get_field_index("bucket"))
-        return schema
-
-    schema_l, schema_r = _schema(left_dir), _schema(right_dir)
+    schema_l = _manifest_schema(ml)
+    schema_r = _manifest_schema(mr)
     left_columns = left_columns or schema_l.names
     right_columns = right_columns or schema_r.names
     if left_key not in left_columns:
         left_columns = [left_key, *left_columns]
     if right_key not in right_columns:
         right_columns = [right_key, *right_columns]
-    overlap = (set(left_columns) - {left_key}) & (set(right_columns) - {right_key})
+    # the output keeps EVERY left column (incl. the key) plus right non-key
+    # columns — so the left key itself collides with a same-named right
+    # payload column and must stay in the left set here
+    overlap = set(left_columns) & (set(right_columns) - {right_key})
     if overlap:
         raise ValueError(
             f"non-key output columns collide: {sorted(overlap)} — project "
@@ -903,8 +930,12 @@ def bucketed_map_groups(
     projected at the scan) and applies ``fn`` to each complete group.
 
     ``fn`` takes one group as a pandas DataFrame (key column included) and
-    returns a DataFrame; outputs across groups must share one schema. A
-    bucket with no rows emits nothing. Skew caveat as for
+    returns a DataFrame; outputs across groups must share one schema.
+    Absent bucket dirs are skipped on the driver (no task, no schema-less
+    block); a bucket whose groups ALL return empty frames yields one empty
+    zero-column block — acceptable to every Dataset consumer here, but a
+    mixed-schema warning Ray may print for it is this case, not data loss.
+    Skew caveat as for
     ``bucketed_hash_join``: the hottest key's bucket is the straggler and
     cannot be salted post-hoc (holistic fns can't be salted at all — that
     is exactly when this layout is the RIGHT answer, per the measured
@@ -923,8 +954,6 @@ def bucketed_map_groups(
     @ray.remote
     def one_bucket(b: int) -> pa.Table:
         path = os.path.join(table_dir, f"bucket={b}")
-        if not os.path.isdir(path):
-            return pa.table({})
         t = pads.dataset(path, format="parquet").to_table(columns=columns)
         if t.num_rows == 0:
             return pa.table({})
@@ -939,5 +968,16 @@ def bucketed_map_groups(
         return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
                                     preserve_index=False)
 
-    refs = [one_bucket.remote(b) for b in range(num_buckets)]
+    # absent dirs filtered HERE: spawning their tasks would emit schema-less
+    # empty blocks that disagree with the real blocks' schema
+    refs = [one_bucket.remote(b) for b in range(num_buckets)
+            if os.path.isdir(os.path.join(table_dir, f"bucket={b}"))]
+    if not refs:
+        # schema-stable empty result: the INPUT columns (fn never ran, so
+        # its output schema is unknowable — callers branching on emptiness
+        # see the projected scan schema, same as an all-filtered scan)
+        schema = _manifest_schema(manifest)
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)

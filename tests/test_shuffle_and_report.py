@@ -612,3 +612,44 @@ def test_bucketed_map_groups_matches_global_groupby(tmp_path):
            .sort_values("row_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
     assert got["domain"].isna().sum() == 1  # null group survived intact
+
+
+def test_bucketed_layout_edge_cases(tmp_path):
+    """Zero-row datasets commit a valid (empty) bucketed table; a right-side
+    payload column named like the LEFT join key must hit the collision
+    guard, not a deep Arrow duplicate-field error; sparse tables skip
+    absent buckets without schema-less blocks."""
+    import pyarrow as pa
+    import pytest
+
+    from biosample_enricher_ray.stages.shuffle import (
+        bucketed_hash_join,
+        bucketed_map_groups,
+        write_bucketed_by_key,
+    )
+
+    # zero-row input: sink still commits (manifest present), join yields 0 rows
+    empty = pa.table({"k": pa.array([], pa.string()),
+                      "lv": pa.array([], pa.int64())})
+    ed = str(tmp_path / "empty")
+    write_bucketed_by_key(ray.data.from_arrow(empty), "k", ed, num_buckets=4)
+    full = pa.table({"k": pa.array(["a"]), "rv": pa.array([1], pa.int64())})
+    fd = str(tmp_path / "full")
+    write_bucketed_by_key(ray.data.from_arrow(full), "k", fd, num_buckets=4)
+    assert bucketed_hash_join(ed, fd).count() == 0
+    assert bucketed_map_groups(ed, lambda g: g).count() == 0
+
+    # right payload column named like the left key -> explicit guard
+    lt = pa.table({"k": pa.array(["a"]), "lv": pa.array([1], pa.int64())})
+    rt = pa.table({"rk": pa.array(["a"]), "k": pa.array(["clash"])})
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed_by_key(ray.data.from_arrow(lt), "k", ld, num_buckets=4)
+    write_bucketed_by_key(ray.data.from_arrow(rt), "rk", rd, num_buckets=4)
+    with pytest.raises(ValueError, match="collide"):
+        bucketed_hash_join(ld, rd)
+    got = bucketed_hash_join(ld, rd, right_columns=["rk"]).to_pandas()
+    assert got["k"].tolist() == ["a"] and got["lv"].tolist() == [1]
+
+    # sparse: 1 key in 64 buckets -> only present dirs spawn tasks
+    sparse = bucketed_map_groups(fd, lambda g: g.head(1))
+    assert sparse.to_pandas()["k"].tolist() == ["a"]
