@@ -2720,6 +2720,38 @@ def bigram_lm_score_documents(sf_dir: str) -> pd.DataFrame:
     return _bigram_lm_scores(sf_dir)
 
 
+def bucketed_top_doc_per_lang(sf_dir: str) -> pd.DataFrame:
+    """EXCHANGE-FREE holistic per-group argmax over a bucketed layout
+    (stages/shuffle.py bucketed_map_groups): documents are bucketed by lang
+    once (the sink's one-time exchange), then the per-group "longest doc,
+    doc_id tiebreak" — a holistic fn that can NEVER be salted — runs bucket-
+    locally with zero shuffle. Same oracle family as top3_docs_per_lang
+    (ROW_NUMBER()=1); at 100 TB the bucketed layout amortizes over every
+    holistic per-key pass that follows."""
+    import tempfile
+
+    from ..stages.shuffle import bucketed_map_groups, write_bucketed_by_key
+
+    def keep_valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t["lang"]),
+                                pc.is_valid(t["n_chars"])))
+
+    ds = (_read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+          .map_batches(keep_valid, batch_format="pyarrow"))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(1)[["lang", "doc_id", "n_chars"]]
+
+    with tempfile.TemporaryDirectory(prefix="bucketed_lang_") as td:
+        write_bucketed_by_key(ds, "lang", f"{td}/docs", num_buckets=8)
+        out = bucketed_map_groups(f"{td}/docs", best).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return (out[["lang", "doc_id", "n_chars"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
 def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k (k>1) with a LOSSLESS map-side cut — the general form of
     the argmax reduce (A7, `top_event_per_user`): any row in a group's global
@@ -4039,6 +4071,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
     "bucketed_join_revenue_by_priority": bucketed_join_revenue_by_priority,
+    "bucketed_top_doc_per_lang": bucketed_top_doc_per_lang,
     "left_join_orders_lineitem": left_join_orders_lineitem,
     "hll_by_lang_documents": hll_by_lang_documents,
     "click_view_day_join_events": click_view_day_join_events,
@@ -4611,6 +4644,14 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY lang "
         "ORDER BY n_chars DESC, doc_id) <= 3 "
         "ORDER BY lang, n_chars DESC, doc_id"
+    ),
+    "bucketed_top_doc_per_lang": (
+        "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "WHERE lang IS NOT NULL AND n_chars IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) = 1 "
+        "ORDER BY lang"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
