@@ -395,6 +395,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pivot_source_lang_documents",
         "unnest_tokens_documents",
         "centroid_by_label_embeddings",
+        # exchange-free bucketed-layout consumers (added round 5): each pays
+        # its sink write in the timing — the cost model the layout amortizes
+        "bucketed_join_revenue_by_priority",
+        "bucketed_top_doc_per_lang",
     ]
     out = {}
     for name, fn in QUERIES.items():
