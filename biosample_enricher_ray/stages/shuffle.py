@@ -981,3 +981,109 @@ def bucketed_map_groups(
             schema = pa.schema([schema.field(c) for c in columns])
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+def bucketed_delta_join(
+    bucketed_dir: str,
+    delta_ds: ray.data.Dataset,
+    delta_key: str,
+    *,
+    how: str = "inner",
+    bucketed_columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """One-sided join: shuffle ONLY a (small) delta Dataset into an existing
+    ``write_bucketed_by_key`` layout and join per bucket.
+
+    The production pattern the bucketed layout exists for: a huge fact table
+    is bucketed once; every new increment (today's crawl, a fresh label set)
+    joins against it by exchanging only ITS OWN rows — the big side is read
+    in place, bucket dir by bucket dir, never moved. Delta rows route to
+    ``bucket = hash64(key) >> shift`` with the layout's own hash, so equal
+    keys meet the bucketed side's co-located rows by construction.
+
+    ``how``: ``"inner"`` or ``"left"`` — left keeps unmatched DELTA rows
+    (the delta is the probe side). Null delta keys never match; under
+    ``"left"`` they are spread round-robin and null-filled locally. Non-key
+    output columns must be disjoint (project the bucketed side with
+    ``bucketed_columns``). Skew: the layout's hot bucket is still one task;
+    salting is impossible post-hoc (see ``bucketed_hash_join``) — for a
+    hot-key delta use ``shuffle_hash_join(salt=k)`` instead.
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    manifest = read_bucket_manifest(bucketed_dir)
+    bkey = manifest["key_column"]
+    num_buckets = int(manifest["num_buckets"])
+    shift = np.uint64(64 - int(np.log2(num_buckets)))
+    bschema = _manifest_schema(manifest)
+    bucketed_columns = bucketed_columns or bschema.names
+    if bkey not in bucketed_columns:
+        bucketed_columns = [bkey, *bucketed_columns]
+    delta_schema = _arrow_schema_of(delta_ds)
+    overlap = set(delta_schema.names) & (set(bucketed_columns) - {bkey})
+    if overlap:
+        raise ValueError(
+            f"non-key output columns collide: {sorted(overlap)} — project "
+            "the bucketed side with bucketed_columns or rename delta columns")
+    join_type = "inner" if how == "inner" else "left outer"
+
+    @ray.remote
+    def map_delta(*tables: pa.Table) -> list[pa.Table]:
+        good = [t for t in tables
+                if t.num_rows and delta_key in t.schema.names]
+        if not good:
+            empty = delta_schema.empty_table()
+            return [empty for _ in range(num_buckets)]
+        t = (pa.concat_tables(good).combine_chunks()
+             if len(good) > 1 else good[0])
+        valid = pc.is_valid(t[delta_key])
+        nulls = t.filter(pc.invert(valid)) if how == "left" else None
+        t = t.filter(valid)
+        bucket = (hash64(t[delta_key].combine_chunks()) >> shift).astype(
+            np.int64)
+        order = np.argsort(bucket, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
+        parts = [t.slice(bounds[b], bounds[b + 1] - bounds[b])
+                 for b in range(num_buckets)]
+        if nulls is not None and nulls.num_rows:
+            # null keys match nothing: spread them so no single reducer
+            # becomes the null hotspot (same policy as shuffle_hash_join)
+            step = -(-nulls.num_rows // num_buckets)
+            parts = [pa.concat_tables([nulls.slice(b * step, step), p])
+                     if nulls.slice(b * step, step).num_rows else p
+                     for b, p in enumerate(parts)]
+        return parts
+
+    @ray.remote
+    def join_delta_bucket(b: int, *parts: pa.Table) -> pa.Table:
+        path = os.path.join(bucketed_dir, f"bucket={b}")
+        if os.path.isdir(path):
+            bt = pads.dataset(path, format="parquet").to_table(
+                columns=bucketed_columns)
+        else:
+            bt = pa.schema(
+                [bschema.field(c) for c in bucketed_columns]).empty_table()
+        dts = [p for p in parts if p.num_rows]
+        dt = (pa.concat_tables(dts).combine_chunks() if dts
+              else delta_schema.empty_table())
+        return dt.join(bt, keys=delta_key, right_keys=bkey,
+                       join_type=join_type)
+
+    delta_refs = delta_ds.to_arrow_refs()
+    # bound the exchange fan-out like shuffle_hash_join: coalesce fragmented
+    # delta blocks so at most ~4 map tasks per bucket exist
+    max_tasks = 4 * num_buckets
+    k = max(1, int(np.ceil(len(delta_refs) / max_tasks))) if delta_refs else 1
+    chunks = [delta_refs[i:i + k] for i in range(0, len(delta_refs), k)]
+    maps = [map_delta.options(num_returns=num_buckets).remote(*c)
+            for c in chunks]
+    if num_buckets == 1:
+        maps = [[m] for m in maps]
+    joined = [join_delta_bucket.remote(b, *[m[b] for m in maps])
+              for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(joined)

@@ -653,3 +653,47 @@ def test_bucketed_layout_edge_cases(tmp_path):
     # sparse: 1 key in 64 buckets -> only present dirs spawn tasks
     sparse = bucketed_map_groups(fd, lambda g: g.head(1))
     assert sparse.to_pandas()["k"].tolist() == ["a"]
+
+
+def test_bucketed_delta_join_matches_duckdb(tmp_path):
+    """One-sided join (delta shuffled INTO an existing bucketed layout) must
+    equal the SQL join: inner + left (delta is the probe side), null delta
+    keys, dangling keys on both sides, duplicate bucketed rows, and an
+    empty delta."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from biosample_enricher_ray.stages.shuffle import (
+        bucketed_delta_join,
+        write_bucketed_by_key,
+    )
+
+    rng = np.random.default_rng(31)
+    bk = [f"k{v}" for v in range(0, 50, 2) for _ in (0, 1)]  # dup rows
+    bt = pa.table({"k": pa.array(bk, pa.string()),
+                   "bv": pa.array(np.arange(len(bk)), pa.int64())})
+    bd = str(tmp_path / "base")
+    write_bucketed_by_key(ray.data.from_arrow(bt).repartition(3), "k", bd,
+                          num_buckets=8)
+
+    dk = [f"k{v}" for v in rng.integers(0, 60, 300)] + [None] * 4
+    dt = pa.table({"dk": pa.array(dk, pa.string()),
+                   "dv": pa.array(np.arange(len(dk)), pa.int64())})
+
+    con = duckdb.connect()
+    con.register("bt", bt.to_pandas())
+    con.register("dt", dt.to_pandas())
+    for how, sql_join in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        got = (bucketed_delta_join(bd, ray.data.from_arrow(dt).repartition(5),
+                                   "dk", how=how).to_pandas()
+               .sort_values(["dv", "bv"], na_position="last")
+               .reset_index(drop=True))
+        exp = con.execute(
+            f"SELECT dk, dv, bv FROM dt {sql_join} bt ON dk = bt.k "
+            "ORDER BY dv, bv NULLS LAST").df()
+        assert got["dv"].tolist() == exp["dv"].tolist(), how
+        assert got["bv"].fillna(-1).tolist() == exp["bv"].fillna(-1).tolist(), how
+
+    empty = ray.data.from_arrow(dt.slice(0, 0))
+    assert bucketed_delta_join(bd, empty, "dk", how="inner").count() == 0
