@@ -2752,6 +2752,34 @@ def bucketed_top_doc_per_lang(sf_dir: str) -> pd.DataFrame:
             .sort_values("lang").reset_index(drop=True))
 
 
+def bucketed_delta_join_events_segment(sf_dir: str) -> pd.DataFrame:
+    """One-sided bucketed join (stages/shuffle.py bucketed_delta_join):
+    customers are bucketed ONCE by c_custkey (the reference-dimension
+    layout), then the events 'delta' shuffles only itself into that layout
+    — per-segment event counts over the joined rows. At 100 TB this is the
+    daily-increment-vs-bucketed-dimension pattern: the dimension never
+    moves again."""
+    import tempfile
+
+    from ..stages.shuffle import bucketed_delta_join, write_bucketed_by_key
+
+    with tempfile.TemporaryDirectory(prefix="bucketed_delta_") as td:
+        write_bucketed_by_key(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+            "c_custkey", f"{td}/cust", num_buckets=8)
+        joined = bucketed_delta_join(
+            f"{td}/cust",
+            _read(sf_dir, "events", columns=["user_id"]),
+            "user_id")
+        out = (joined.groupby("c_mktsegment")
+               .count()
+               .to_pandas())
+    out = out.rename(columns={out.columns[-1]: "n_events"})
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["c_mktsegment", "n_events"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
 def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k (k>1) with a LOSSLESS map-side cut — the general form of
     the argmax reduce (A7, `top_event_per_user`): any row in a group's global
@@ -4072,6 +4100,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "coalesce_profile_documents": coalesce_profile_documents,
     "bucketed_join_revenue_by_priority": bucketed_join_revenue_by_priority,
     "bucketed_top_doc_per_lang": bucketed_top_doc_per_lang,
+    "bucketed_delta_join_events_segment": bucketed_delta_join_events_segment,
     "left_join_orders_lineitem": left_join_orders_lineitem,
     "hll_by_lang_documents": hll_by_lang_documents,
     "click_view_day_join_events": click_view_day_join_events,
@@ -4652,6 +4681,11 @@ _ALL_ORACLE_SQL: dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY lang "
         "ORDER BY n_chars DESC, doc_id) = 1 "
         "ORDER BY lang"
+    ),
+    "bucketed_delta_join_events_segment": (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     ),
     "quantiles_n_chars_documents": (
         "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
