@@ -399,6 +399,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # its sink write in the timing — the cost model the layout amortizes
         "bucketed_join_revenue_by_priority",
         "bucketed_top_doc_per_lang",
+        "bucketed_delta_join_events_segment",
     ]
     out = {}
     for name, fn in QUERIES.items():

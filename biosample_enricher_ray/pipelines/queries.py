@@ -2771,7 +2771,10 @@ def bucketed_delta_join_events_segment(sf_dir: str) -> pd.DataFrame:
             f"{td}/cust",
             _read(sf_dir, "events", columns=["user_id"]),
             "user_id")
-        out = (joined.groupby("c_mktsegment")
+        # drop the join key before the grouped exchange — the count only
+        # needs the segment column
+        out = (joined.select_columns(["c_mktsegment"])
+               .groupby("c_mktsegment")
                .count()
                .to_pandas())
     out = out.rename(columns={out.columns[-1]: "n_events"})

@@ -340,6 +340,31 @@ def shuffle_semi_join_complement(
     return pd.DataFrame({"n_orphans": [int(sum(counts))], "n_rows": [int(n_rows)]})
 
 
+def _slice_by_bucket(t: pa.Table, bucket: np.ndarray,
+                     n_parts: int) -> list[pa.Table]:
+    """Partition a table into ``n_parts`` zero-copy slices by precomputed
+    bucket ids: one stable argsort + searchsorted bounds — the shared
+    map-side routing of every explicit hash exchange in this module."""
+    order = np.argsort(bucket, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(bucket[order], np.arange(n_parts + 1))
+    return [t.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(n_parts)]
+
+
+def _spread_rows(parts: list[pa.Table], extra: pa.Table) -> list[pa.Table]:
+    """Round-robin-spread match-nothing rows (null join keys) across ALL
+    parts: any reducer can null-fill them, and pinning them to one part
+    would make a null-heavy column a single-reducer hotspot."""
+    n_parts = len(parts)
+    step = -(-extra.num_rows // n_parts)
+    out = []
+    for b, p in enumerate(parts):
+        chunk = extra.slice(b * step, step)
+        out.append(pa.concat_tables([chunk, p]) if chunk.num_rows else p)
+    return out
+
+
 def shuffle_hash_join(
     left_ds: ray.data.Dataset,
     left_key: str | list[str],
@@ -473,24 +498,12 @@ def shuffle_hash_join(
             bucket = bucket * salt + (np.arange(len(bucket)) % salt)
         elif salt > 1:
             bucket = bucket * salt  # replicated below
-        order = np.argsort(bucket, kind="stable")
-        t = t.take(pa.array(order))
-        bounds = np.searchsorted(bucket[order], np.arange(n_parts + 1))
-        parts = [t.slice(bounds[b], bounds[b + 1] - bounds[b])
-                 for b in range(n_parts)]
+        parts = _slice_by_bucket(t, bucket, n_parts)
         if salt > 1 and replicate:
             # right side: every sub-bucket of a bucket gets the full bucket
             parts = [parts[(b // salt) * salt] for b in range(n_parts)]
         if nulls is not None and nulls.num_rows:
-            # spread null-key rows across ALL parts (they match nothing, so
-            # any reducer can null-fill them) — pinning them to one part
-            # would make a null-heavy column a single-reducer hotspot
-            n = nulls.num_rows
-            step = -(-n // n_parts)
-            for b in range(n_parts):
-                chunk = nulls.slice(b * step, step)
-                if chunk.num_rows:
-                    parts[b] = pa.concat_tables([chunk, parts[b]])
+            parts = _spread_rows(parts, nulls)
         return parts
 
     @ray.remote
@@ -1016,6 +1029,16 @@ def bucketed_delta_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     manifest = read_bucket_manifest(bucketed_dir)
+    # this is the ONE consumer that mixes write-time hashing (the layout)
+    # with LIVE hashing (the delta): a layout placed by a different hash
+    # version would silently lose matches, so refuse anything but the hash
+    # this build implements
+    if (manifest.get("hash"), manifest.get("version")) != ("hash64_msb", 1):
+        raise ValueError(
+            f"layout hashed with {manifest.get('hash')!r} v"
+            f"{manifest.get('version')!r}, but this build routes deltas "
+            "with hash64_msb v1 — rewrite the layout or use "
+            "shuffle_hash_join")
     bkey = manifest["key_column"]
     num_buckets = int(manifest["num_buckets"])
     shift = np.uint64(64 - int(np.log2(num_buckets)))
@@ -1045,32 +1068,29 @@ def bucketed_delta_join(
         t = t.filter(valid)
         bucket = (hash64(t[delta_key].combine_chunks()) >> shift).astype(
             np.int64)
-        order = np.argsort(bucket, kind="stable")
-        t = t.take(pa.array(order))
-        bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
-        parts = [t.slice(bounds[b], bounds[b + 1] - bounds[b])
-                 for b in range(num_buckets)]
+        parts = _slice_by_bucket(t, bucket, num_buckets)
         if nulls is not None and nulls.num_rows:
-            # null keys match nothing: spread them so no single reducer
-            # becomes the null hotspot (same policy as shuffle_hash_join)
-            step = -(-nulls.num_rows // num_buckets)
-            parts = [pa.concat_tables([nulls.slice(b * step, step), p])
-                     if nulls.slice(b * step, step).num_rows else p
-                     for b, p in enumerate(parts)]
+            parts = _spread_rows(parts, nulls)
         return parts
 
     @ray.remote
     def join_delta_bucket(b: int, *parts: pa.Table) -> pa.Table:
+        dts = [p for p in parts if p.num_rows]
+        dt = (pa.concat_tables(dts).combine_chunks() if dts
+              else delta_schema.empty_table())
         path = os.path.join(bucketed_dir, f"bucket={b}")
-        if os.path.isdir(path):
+        if dt.num_rows == 0:
+            # the tiny-delta payoff: a bucket the delta never touched is
+            # NEVER read — the result is empty by construction under both
+            # inner and left (only delta rows can survive a delta-probe join)
+            bt = pa.schema(
+                [bschema.field(c) for c in bucketed_columns]).empty_table()
+        elif os.path.isdir(path):
             bt = pads.dataset(path, format="parquet").to_table(
                 columns=bucketed_columns)
         else:
             bt = pa.schema(
                 [bschema.field(c) for c in bucketed_columns]).empty_table()
-        dts = [p for p in parts if p.num_rows]
-        dt = (pa.concat_tables(dts).combine_chunks() if dts
-              else delta_schema.empty_table())
         return dt.join(bt, keys=delta_key, right_keys=bkey,
                        join_type=join_type)
 
@@ -1080,10 +1100,10 @@ def bucketed_delta_join(
     max_tasks = 4 * num_buckets
     k = max(1, int(np.ceil(len(delta_refs) / max_tasks))) if delta_refs else 1
     chunks = [delta_refs[i:i + k] for i in range(0, len(delta_refs), k)]
+    # manifests always record >= 2 buckets (the sink rounds up to a power
+    # of two with bits >= 1), so num_returns is always a list
     maps = [map_delta.options(num_returns=num_buckets).remote(*c)
             for c in chunks]
-    if num_buckets == 1:
-        maps = [[m] for m in maps]
     joined = [join_delta_bucket.remote(b, *[m[b] for m in maps])
               for b in range(num_buckets)]
     return ray.data.from_arrow_refs(joined)
